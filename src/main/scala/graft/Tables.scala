@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided TPC-H-ish parquet tables
+  * (`/root/repo/TESTDATA.md`). Every query entry point receives the
+  * scale-factor directory and resolves tables through here, so the
+  * physical layout (plain parquet today; partitioned/bucketed later)
+  * is a single-point decision.
+  *
+  * Scale note: these are plain `spark.read.parquet` scans — Catalyst
+  * pushes filters and prunes columns into the parquet reader, which is
+  * exactly the behavior that must hold on a 1000-executor cluster.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view (for spark.sql entry points). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational building blocks re-expressing the reference's serving
+  * queries (SURVEY.md §2.2–2.7) as declarative DataFrame ops so
+  * Catalyst gets full pushdown/pruning/join-selection freedom.
+  *
+  * Scale notes:
+  *  - `topNPerGroup`/`latestPerKey` are window ranks: one shuffle on
+  *    the partition keys, no driver materialization, skew handled by
+  *    AQE. For top-1 Spark can also use max_by, but row_number keeps
+  *    deterministic tie-breaks (required for oracle parity).
+  */
+object Relational {
+
+  /** Top-N rows per group with a deterministic tie-breaker.
+    * Reference: recent-N per user, SURVEY §2.5 W3/W4
+    * (db_llm_service.py:144-196). */
+  def topNPerGroup(df: DataFrame, partitionCols: Seq[Column],
+                   orderCols: Seq[Column], n: Int,
+                   rankCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= n)
+  }
+
+  /** Latest row per key (W3: ORDER BY ts DESC LIMIT 1 per user). */
+  def latestPerKey(df: DataFrame, keys: Seq[Column],
+                   orderCols: Seq[Column]): DataFrame =
+    topNPerGroup(df, keys, orderCols, 1).drop("rn")
+
+  /** Bucketed histogram (A5: size-class bucket counts,
+    * routes.py:743-747). Buckets are (name, predicate) in priority
+    * order; rows failing all predicates get `otherwise`. */
+  def bucketize(c: Column, buckets: Seq[(String, Column)],
+                otherwise: String): Column =
+    buckets.foldRight(lit(otherwise)) { case ((name, pred), acc) =>
+      when(pred, lit(name)).otherwise(acc)
+    }
+
+  /** Cumulative-budget prefix filter (A14: keep ordered rows while the
+    * running sum of `cost` stays under `budget`; the row that crosses
+    * the boundary is kept — mirrors the reference's truncate-last
+    * behavior at enhanced_internal_db_service.py:796-809). Window is
+    * unpartitioned by design: result sets here are tiny (top-k docs),
+    * never a full table. */
+  def cumulativeBudget(df: DataFrame, order: Seq[Column], cost: Column,
+                       budget: Long): DataFrame = {
+    val w = Window.orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_spent", coalesce(sum(cost).over(w), lit(0L)))
+      .filter(col("_spent") < budget)
+      .drop("_spent")
+  }
+}
