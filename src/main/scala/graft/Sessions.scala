@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place for the engine's session config so Verify, Bench and
+  * tests agree: UTC (hash parity with the DuckDB oracle), shuffle
+  * partitions = cores (local[32] — never the 200 default), AQE on
+  * (runtime skew/coalesce at scale), and the nanos-as-long legacy flag
+  * required to read the testdata's TIMESTAMP(NANOS) parquet columns
+  * (converted back to TimestampType in [[Tables.load]]). */
+object Sessions {
+  def local(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

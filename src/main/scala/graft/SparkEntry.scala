@@ -1,13 +1,467 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Relational, TextAnalysis, TimeSeriesOps, VectorSearch}
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+
+/** Driver contract (see /root/repo/SURVEY.md §2 for operator IDs).
+  *
+  * Every query is deterministic: explicit ORDER BY with unique
+  * tie-breakers, doubles rounded, timestamps cast to DATE — required
+  * for hash parity with the DuckDB oracle. Column aliases match the
+  * oracle SQL exactly (driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Query embedding looked up once on the driver (single-row lookup,
+    * then inlined as a plan literal — broadcast-by-plan, no shuffle). */
+  private def queryVec(s: SparkSession, dir: String, id: Long): Array[Float] =
+    t(s, dir, "embeddings").filter(col("vec_id") === id)
+      .select("embedding").head.getSeq[Float](0).toArray
+
+  /** Top-k cosine neighbors of vec 0 with the raw score kept (shared
+    * prefix of the vector-pipeline queries). */
+  private def knnTop(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val q = lit(queryVec(s, dir, 0L))
+    t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        VectorFunctions.cosine(col("embedding"), q).as("s"))
+      .orderBy(desc("s"), col("vec_id")).limit(k)
+  }
+
+  /** Flagship: the §3.1 vector-QA pipeline (k-NN → normalize → margin
+    * → diversify → context budget) on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val top = knnTop(spark, dir, 50)
+      .withColumnRenamed("s", "score")
+    val cut = VectorSearch.marginFilter(top, margin = 0.5, simFloor = 0.0)
+    val div = VectorSearch.diversify(cut, col("label"), col("vec_id"),
+      perGroupCap = 3, topK = 10)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val joined = div.join(broadcast(docs), div("vec_id") === docs("doc_id"))
+    VectorSearch.contextBudget(joined,
+      Seq(desc("score"), col("vec_id")), col("text"), budget = 2000)
+      .select("vec_id", "score", "kept_text")
+  }
+
+  // ---------------------------------------------------------------- //
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** §2.4 aggregates (A1–A7, A13) + TPC-H-Q1-style pricing summary. */
+  private val aggregates: Map[String, Q] = Map(
+    "a1_sum" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        round(sum("l_extendedprice"), 2).as("total_revenue"),
+        round(sum("l_quantity"), 2).as("total_qty"))),
+    "a2_count" -> ((s, d) =>
+      t(s, d, "lineitem").agg(count(lit(1)).as("n_rows"))),
+    "a3_group_count" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n")).orderBy("l_returnflag")),
+    "a4_minmaxavg" -> ((s, d) =>
+      t(s, d, "part").agg(
+        round(min("p_retailprice"), 2).as("min_price"),
+        round(max("p_retailprice"), 2).as("max_price"),
+        round(avg("p_retailprice"), 2).as("avg_price"))),
+    "a5_histogram" -> ((s, d) =>
+      t(s, d, "part")
+        .withColumn("bucket", Relational.bucketize(col("p_size"), Seq(
+          "small" -> (col("p_size") < 10),
+          "medium" -> (col("p_size") < 25)), "large"))
+        .groupBy("bucket").agg(count(lit(1)).as("n")).orderBy("bucket")),
+    "a6_pricing_summary" -> ((s, d) =>
+      t(s, d, "lineitem").filter(col("l_shipdate") <= lit("2000-12-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "a7_daily_resample" -> ((s, d) =>
+      TimeSeriesOps.dailyResample(t(s, d, "events"), Seq.empty, col("ts"), col("value"))
+        .select(col("day"), round(col("avg_value"), 4).as("avg_value"))
+        .orderBy("day")),
+    "a13_metrics" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val m = e.groupBy("event_type").agg(avg("value").as("pred"))
+      e.join(broadcast(m), "event_type").agg(
+        round(TimeSeriesOps.rmse(col("value"), col("pred")), 4).as("rmse"),
+        round(TimeSeriesOps.r2Agg(col("value"), col("pred")), 6).as("r2"),
+        round(TimeSeriesOps.smape(col("value"), col("pred")), 4).as("smape"))
+    }),
+    "a9_longest_run" -> ((s, d) => {
+      val purchases = t(s, d, "events")
+        .filter(col("event_type") === "purchase" && col("user_id") < 50)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("v"))
+      val spine = TimeSeriesOps.toDailySpine(purchases, Seq("user_id"), "day", "v")
+      TimeSeriesOps.longestNonNullRun(spine, Seq("user_id"), "day", "v")
+        .select("user_id", "run_len", "run_start").orderBy("user_id")
+    }),
+    "a14_budget" -> ((s, d) =>
+      Relational.cumulativeBudget(
+        t(s, d, "documents").select("doc_id", "n_chars"),
+        Seq(desc("n_chars"), col("doc_id")), col("n_chars"), 5000L)
+        .orderBy(desc("n_chars"), col("doc_id"))),
+  )
+
+  /** §2.1/§2.2 scans, projections, filters (S1, P1–P11). */
+  private val filters: Map[String, Q] = Map(
+    "s1_scan" -> ((s, d) =>
+      t(s, d, "customer").na.fill("", Seq("c_name"))
+        .select(col("c_custkey"), col("c_name").as("name"), col("c_mktsegment"))
+        .orderBy("c_custkey").limit(500)),
+    "p1_projection" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(col("c_name"), round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy("c_name")),
+    "p2_rename" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_custkey") < 50)
+        .select(col("o_orderkey").as("order_id"), col("o_orderpriority").as("priority"))
+        .orderBy("order_id")),
+    "p3_eq_filter" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("total_price"))
+        .orderBy("o_orderkey")),
+    "p4_conjunction" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 200000)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total_price"))
+        .orderBy("o_orderkey")),
+    "p5_date_range" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("date") &&
+          col("l_shipdate") < lit("1999-01-01").cast("date"))
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("revenue"))),
+    "p6_keyword_or" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(lower(col("text")).contains("join") ||
+          lower(col("text")).contains("window"))
+        .groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")),
+    "p7_regex_parse" -> ((s, d) =>
+      t(s, d, "part")
+        .withColumn("brand_num",
+          regexp_extract(col("p_brand"), "([0-9]+)", 1).cast("int"))
+        .groupBy("brand_num").agg(count(lit(1)).as("n")).orderBy("brand_num")),
+    "p10_null_mask" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy("event_type").agg(count(lit(1)).as("n")).orderBy("event_type")),
+    "p11_length_guard" -> ((s, d) =>
+      t(s, d, "documents").filter(col("n_chars") > 200)
+        .groupBy("source").agg(count(lit(1)).as("n"),
+          round(avg("n_chars"), 4).as("avg_chars"))
+        .orderBy("source")),
+  )
+
+  /** §2.3 joins (J1–J4) incl. the generated date-spine join. */
+  private val joins: Map[String, Q] = Map(
+    "j1_equijoin" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c = broadcast(t(s, d, "customer"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("segment")
+    }),
+    "j2_multiway" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val n = broadcast(t(s, d, "nation"))
+      val r = broadcast(t(s, d, "region"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name").agg(count(lit(1)).as("n_customers"))
+        .orderBy("r_name")
+    }),
+    "j4_semijoin" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val urgent = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      li.join(broadcast(urgent), li("l_orderkey") === urgent("o_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("n"))
+    }),
+    "j3_date_spine" -> ((s, d) => {
+      val daily = t(s, d, "events").filter(col("user_id") === 1)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("cnt"))
+      val spine = TimeSeriesOps.toDailySpine(daily, Seq.empty[String], "day", "cnt")
+      spine.select(col("day"), coalesce(col("cnt"), lit(0L)).as("n")).orderBy("day")
+    }),
+  )
+
+  /** §2.5/§2.6 windows, ranks, sorts, limits (W1–W7). */
+  private val windows: Map[String, Q] = Map(
+    "w1_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total_price"))
+        .limit(10)),
+    "w2_topn_docs" -> ((s, d) =>
+      t(s, d, "documents").orderBy(desc("n_chars"), col("doc_id"))
+        .select("doc_id", "n_chars").limit(10)),
+    "w3_latest_per_key" -> ((s, d) =>
+      Relational.latestPerKey(
+        t(s, d, "orders").filter(col("o_custkey") < 100),
+        Seq(col("o_custkey")), Seq(desc("o_orderdate"), desc("o_orderkey")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("order_date"))
+        .orderBy("o_custkey")),
+    "w4_recent_n" -> ((s, d) =>
+      Relational.topNPerGroup(
+        t(s, d, "orders").filter(col("o_custkey") < 30),
+        Seq(col("o_custkey")), Seq(desc("o_orderdate"), desc("o_orderkey")), 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("bigint").as("rn"))
+        .orderBy("o_custkey", "rn")),
+    "w5_sliding" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(-6, 0)
+      t(s, d, "events").filter(col("user_id") < 5)
+        .select(col("user_id"), col("event_id"),
+          round(avg("value").over(w), 4).as("ma7"))
+        .orderBy("user_id", "event_id")
+    }),
+    "w6_lag_trend" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day")).agg(avg("value").as("v"))
+      val prev = lag("v", 1).over(Window.orderBy("day"))
+      daily.withColumn("prev", prev)
+        .select(col("day"), round(col("v"), 4).as("avg_value"),
+          when(col("prev").isNull, "new")
+            .when(col("v") > col("prev"), "up")
+            .when(col("v") < col("prev"), "down")
+            .otherwise("flat").as("trend"))
+        .orderBy("day")
+    }),
+    "w7_rank_per_group" -> ((s, d) =>
+      Relational.topNPerGroup(t(s, d, "part"),
+        Seq(col("p_brand")), Seq(desc("p_retailprice"), col("p_partkey")), 3)
+        .select(col("p_brand"), col("p_partkey"),
+          round(col("p_retailprice"), 2).as("price"),
+          col("rn").cast("bigint").as("rn"))
+        .orderBy("p_brand", "rn")),
+    "sort_multikey" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+          col("o_orderstatus"))
+        .limit(50)),
+  )
+
+  /** §2.7 set ops + §2.8 scalar-function queries. */
+  private val scalarsAndSets: Map[String, Q] = Map(
+    "set_distinct" -> ((s, d) =>
+      t(s, d, "documents").select("lang", "source").dropDuplicates()
+        .orderBy("lang", "source")),
+    "set_union" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val a = docs.filter(col("lang") === "en").select("doc_id", "lang")
+      val b = docs.filter(col("n_chars") > 300 && col("lang") =!= "en")
+        .select("doc_id", "lang")
+      a.unionByName(b).groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")
+    }),
+    "json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("k",
+          regexp_extract(col("props"), "\"k\":\\s*([0-9]+)", 1).cast("int"))
+        .groupBy("event_type").agg(round(avg("k"), 4).as("avg_k"))
+        .orderBy("event_type")),
+    "date_parts" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(year(col("l_shipdate")).cast("bigint").as("y"),
+          month(col("l_shipdate")).cast("bigint").as("m"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("y", "m")),
+    "seasonal_features" -> ((s, d) => {
+      val days = t(s, d, "events").select(to_date(col("ts")).as("day")).distinct()
+      TimeSeriesOps.calendarFeatures(days, "day")
+        .select(col("day"),
+          round(col("doy_sin"), 6).as("doy_sin"),
+          round(col("doy_cos"), 6).as("doy_cos"))
+        .orderBy("day")
+    }),
+  )
+
+  /** LLM-data-pipeline operators: dedup, text analysis, chunking. */
+  private val llmOps: Map[String, Q] = Map(
+    "dedup_exact" -> ((s, d) =>
+      t(s, d, "documents").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(Dedup.contentHash(col("text"))).as("n_unique"))),
+    "text_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(sum(size(split(col("text"), " "))).as("n_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")),
+    "text_quality" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy("source")
+        .agg(round(
+          sum(length(regexp_replace(col("text"), " ", ""))).cast("double") /
+            sum(size(split(col("text"), " "))).cast("double"), 6)
+          .as("mean_word_len"))
+        .orderBy("source")),
+    "lang_stopwords" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(sum(TextAnalysis.stopwordHits(col("text"), "en")).as("en_hits"))
+        .orderBy("lang")),
+    "chunk_count" -> ((s, d) => {
+      val chunk = TextFunctions.chunkTextUdf(200, 40)
+      t(s, d, "documents")
+        .select(col("source"), explode(chunk(col("text"))).as("c"))
+        .groupBy("source").agg(count(lit(1)).as("total_chunks"))
+        .orderBy("source")
+    }),
+    "doc_fingerprint" -> ((s, d) => // oracle-exempt: JVM rolling hash
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+    "simhash_sketch" -> ((s, d) => // oracle-exempt: JVM 64-bit sketch
+      t(s, d, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("sketch"))
+        .orderBy("doc_id")),
+    "minhash_bands" -> ((s, d) => { // oracle-exempt: xxhash64 minhash
+      val sig = Dedup.minhashSignature(col("text"), 3, 16)
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(Dedup.lshBands(sig, 4, 4)).as("b"))
+        .groupBy(col("b.band").as("band"))
+        .agg(countDistinct(col("b.bucket")).as("n_buckets"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("band")
+    }),
+  )
+
+  /** §2.10 vector-search pipeline stages (J5/W1, A12, P8, A10). */
+  private val vectorOps: Map[String, Q] = Map(
+    "v1_knn" -> ((s, d) =>
+      knnTop(s, d, 10).select(col("vec_id"), round(col("s"), 4).as("score"))
+        .orderBy(desc("score"), col("vec_id"))),
+    "v2_knn_norm" -> ((s, d) =>
+      VectorSearch.normalizeScoresIP(knnTop(s, d, 20), "s")
+        .select(col("vec_id"), round(col("s"), 4).as("norm_score"))
+        .orderBy(desc("norm_score"), col("vec_id"))),
+    "v3_margin" -> ((s, d) =>
+      VectorSearch.marginFilter(knnTop(s, d, 20), margin = 0.12, simFloor = 0.1,
+          scoreCol = "s")
+        .select(col("vec_id"), round(col("s"), 4).as("score"))
+        .orderBy(desc("score"), col("vec_id"))),
+    "v4_diversify" -> ((s, d) =>
+      VectorSearch.diversify(knnTop(s, d, 20), col("label"), col("vec_id"),
+          perGroupCap = 2, topK = 8, scoreCol = "s")
+        .select(col("vec_id"), col("label"), round(col("s"), 4).as("score"))),
+  )
+
+  def queries: Map[String, Q] =
+    aggregates ++ filters ++ joins ++ windows ++ scalarsAndSets ++ llmOps ++ vectorOps
+
+  // ---------------------------------------------------------------- //
+
+  private val knnTopSql =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+      |top AS (SELECT e.vec_id, e.label, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qe) AS s
+      |        FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY s DESC, e.vec_id LIMIT %d)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "a1_sum" -> "SELECT round(sum(l_extendedprice),2) AS total_revenue, round(sum(l_quantity),2) AS total_qty FROM lineitem",
+    "a2_count" -> "SELECT count(*) AS n_rows FROM lineitem",
+    "a3_group_count" -> "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "a4_minmaxavg" -> "SELECT round(min(p_retailprice),2) AS min_price, round(max(p_retailprice),2) AS max_price, round(avg(p_retailprice),2) AS avg_price FROM part",
+    "a5_histogram" -> "SELECT CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 25 THEN 'medium' ELSE 'large' END AS bucket, count(*) AS n FROM part GROUP BY bucket ORDER BY bucket",
+    "a6_pricing_summary" -> ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_base_price, " +
+      "round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price, round(avg(l_quantity),4) AS avg_qty, round(avg(l_extendedprice),4) AS avg_price, " +
+      "count(*) AS count_order FROM lineitem WHERE l_shipdate <= DATE '2000-12-01' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "a7_daily_resample" -> "SELECT CAST(ts AS DATE) AS day, round(avg(value),4) AS avg_value FROM events GROUP BY day ORDER BY day",
+    "a13_metrics" -> ("WITH m AS (SELECT event_type, avg(value) AS pred FROM events GROUP BY event_type) " +
+      "SELECT round(sqrt(avg(pow(e.value - m.pred, 2))),4) AS rmse, " +
+      "round(1 - sum(pow(e.value - m.pred, 2)) / (sum(pow(e.value, 2)) - count(*)*pow(avg(e.value),2)), 6) AS r2, " +
+      "round(avg(2*abs(m.pred - e.value)/greatest(abs(e.value)+abs(m.pred), 1e-8))*100, 4) AS smape " +
+      "FROM events e JOIN m USING (event_type)"),
+    "a9_longest_run" -> ("WITH days AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase' AND user_id < 50 GROUP BY user_id, day), " +
+      "isl AS (SELECT user_id, day, day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS grp FROM days), " +
+      "runs AS (SELECT user_id, count(*) AS run_len, min(day) AS run_start FROM isl GROUP BY user_id, grp), " +
+      "best AS (SELECT user_id, run_len, run_start, row_number() OVER (PARTITION BY user_id ORDER BY run_len DESC, run_start) AS rn FROM runs) " +
+      "SELECT user_id, run_len, run_start FROM best WHERE rn = 1 ORDER BY user_id"),
+    "a14_budget" -> ("SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars, coalesce(sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS spent FROM documents) " +
+      "WHERE spent < 5000 ORDER BY n_chars DESC, doc_id"),
+    "s1_scan" -> "SELECT c_custkey, coalesce(c_name,'') AS name, c_mktsegment FROM customer ORDER BY c_custkey LIMIT 500",
+    "p1_projection" -> "SELECT c_name, round(c_acctbal,2) AS acctbal FROM customer ORDER BY c_name",
+    "p2_rename" -> "SELECT o_orderkey AS order_id, o_orderpriority AS priority FROM orders WHERE o_custkey < 50 ORDER BY order_id",
+    "p3_eq_filter" -> "SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS total_price FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey",
+    "p4_conjunction" -> "SELECT o_orderkey, round(o_totalprice,2) AS total_price FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 200000 ORDER BY o_orderkey",
+    "p5_date_range" -> "SELECT count(*) AS n, round(sum(l_extendedprice),2) AS revenue FROM lineitem WHERE l_shipdate >= DATE '1998-01-01' AND l_shipdate < DATE '1999-01-01'",
+    "p6_keyword_or" -> "SELECT lang, count(*) AS n FROM documents WHERE contains(lower(text), 'join') OR contains(lower(text), 'window') GROUP BY lang ORDER BY lang",
+    "p7_regex_parse" -> "SELECT CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS brand_num, count(*) AS n FROM part GROUP BY brand_num ORDER BY brand_num",
+    "p10_null_mask" -> "SELECT event_type, count(*) AS n FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY event_type ORDER BY event_type",
+    "p11_length_guard" -> "SELECT source, count(*) AS n, round(avg(n_chars),4) AS avg_chars FROM documents WHERE n_chars > 200 GROUP BY source ORDER BY source",
+    "j1_equijoin" -> ("SELECT c.c_mktsegment AS segment, count(*) AS n_orders, round(sum(o.o_totalprice),2) AS revenue " +
+      "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY segment ORDER BY segment"),
+    "j2_multiway" -> ("SELECT r_name, count(*) AS n_customers FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name"),
+    "j4_semijoin" -> "SELECT count(*) AS n FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')",
+    "j3_date_spine" -> ("WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt FROM events WHERE user_id = 1 GROUP BY day), " +
+      "b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d), " +
+      "spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b) " +
+      "SELECT s.day, coalesce(d.cnt, 0) AS n FROM spine s LEFT JOIN d USING (day) ORDER BY day"),
+    "w1_topk" -> "SELECT o_orderkey, round(o_totalprice,2) AS total_price FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "w2_topn_docs" -> "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10",
+    "w3_latest_per_key" -> ("SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders WHERE o_custkey < 100) " +
+      "WHERE rn = 1 ORDER BY o_custkey"),
+    "w4_recent_n" -> ("SELECT o_custkey, o_orderkey, rn FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders WHERE o_custkey < 30) " +
+      "WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "w5_sliding" -> ("SELECT user_id, event_id, round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7 " +
+      "FROM events WHERE user_id < 5 ORDER BY user_id, event_id"),
+    "w6_lag_trend" -> ("WITH d AS (SELECT CAST(ts AS DATE) AS day, avg(value) AS v FROM events GROUP BY day), " +
+      "l AS (SELECT day, v, lag(v) OVER (ORDER BY day) AS prev FROM d) " +
+      "SELECT day, round(v,4) AS avg_value, CASE WHEN prev IS NULL THEN 'new' WHEN v > prev THEN 'up' WHEN v < prev THEN 'down' ELSE 'flat' END AS trend " +
+      "FROM l ORDER BY day"),
+    "w7_rank_per_group" -> ("SELECT p_brand, p_partkey, round(p_retailprice,2) AS price, rn FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn FROM part) " +
+      "WHERE rn <= 3 ORDER BY p_brand, rn"),
+    "sort_multikey" -> "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderstatus FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 50",
+    "set_distinct" -> "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source",
+    "set_union" -> ("SELECT lang, count(*) AS n FROM (SELECT doc_id, lang FROM documents WHERE lang = 'en' " +
+      "UNION ALL SELECT doc_id, lang FROM documents WHERE n_chars > 300 AND lang <> 'en') GROUP BY lang ORDER BY lang"),
+    "json_extract" -> ("SELECT event_type, round(avg(CAST(regexp_extract(props, '\"k\":\\s*([0-9]+)', 1) AS INT)),4) AS avg_k " +
+      "FROM events GROUP BY event_type ORDER BY event_type"),
+    "date_parts" -> "SELECT year(l_shipdate) AS y, month(l_shipdate) AS m, count(*) AS n, round(sum(l_quantity),2) AS qty FROM lineitem GROUP BY y, m ORDER BY y, m",
+    "seasonal_features" -> ("SELECT day, round(sin(dayofyear(day)*2*pi()/365.25),6) AS doy_sin, round(cos(dayofyear(day)*2*pi()/365.25),6) AS doy_cos " +
+      "FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) ORDER BY day"),
+    "dedup_exact" -> "SELECT count(*) AS n_rows, count(DISTINCT md5(text)) AS n_unique FROM documents",
+    "text_tokens" -> "SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang",
+    "text_quality" -> ("SELECT source, round(sum(length(replace(text, ' ', ''))) / CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 6) AS mean_word_len " +
+      "FROM documents GROUP BY source ORDER BY source"),
+    "lang_stopwords" -> ("SELECT lang, CAST(sum(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','and','of','to','is','a','in','that')))) AS BIGINT) AS en_hits " +
+      "FROM documents GROUP BY lang ORDER BY lang"),
+    "chunk_count" -> ("SELECT source, CAST(sum(n_chunks) AS BIGINT) AS total_chunks FROM " +
+      "(SELECT source, 1 + CASE WHEN length(text) > 41 THEN CAST(floor((length(text)-41)/160.0) AS BIGINT) ELSE 0 END AS n_chunks FROM documents) " +
+      "GROUP BY source ORDER BY source"),
+    "v1_knn" -> (knnTopSql.format(10) +
+      " SELECT vec_id, round(s,4) AS score FROM top ORDER BY score DESC, vec_id"),
+    "v2_knn_norm" -> (knnTopSql.format(20) +
+      ", n AS (SELECT vec_id, s, greatest(1.0, max(s) OVER ()) AS hi, least(-1.0, min(s) OVER ()) AS lo FROM top) " +
+      "SELECT vec_id, round((s - lo)/(hi - lo), 4) AS norm_score FROM n ORDER BY norm_score DESC, vec_id"),
+    "v3_margin" -> (knnTopSql.format(20) +
+      ", m AS (SELECT vec_id, s, max(s) OVER () AS best FROM top) " +
+      "SELECT vec_id, round(s,4) AS score FROM m WHERE s >= 0.1 AND s >= greatest(best - 0.12, best * 0.88) ORDER BY score DESC, vec_id"),
+    "v4_diversify" -> (knnTopSql.format(20) +
+      ", capped AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY label ORDER BY s DESC, vec_id) AS gr FROM top) WHERE gr <= 2), " +
+      "g AS (SELECT *, min(pos) OVER (PARTITION BY label) AS gpos FROM (SELECT *, row_number() OVER (ORDER BY s DESC, vec_id) AS pos FROM capped)) " +
+      "SELECT vec_id, label, round(s,4) AS score FROM g ORDER BY gr, gpos, s DESC, vec_id LIMIT 8"),
+  )
 }

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-provided TPC-H-ish parquet tables
   * (`/root/repo/TESTDATA.md`). Every query entry point receives the
@@ -17,8 +19,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (see [[Sessions.builder]]): the testdata's `events.ts` is
+    * TIMESTAMP(NANOS), which the vectorized reader otherwise rejects.
+    * The nanos-long column is converted back to a microsecond
+    * timestamp here so downstream operators see a real TimestampType. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case None => df
+    }
+  }
 
   /** Register every table as a temp view (for spark.sql entry points). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Large-scale training-data deduplication operators (north-star
+  * requirement; no reference counterpart — designed Spark-first).
+  *
+  * Scale design — NEVER all-pairs:
+  *  - exact: one hash-shuffle on a 32-char digest, map-side combine.
+  *  - MinHash-LSH: signature is row-local; candidate generation is an
+  *    equi-join on (band, bandHash) buckets — a shuffle join on a
+  *    compact key, linear in candidates, not quadratic in corpus.
+  *  - SimHash: row-local 64-bit sketch; near-dup = same sketch bucket
+  *    (or Hamming ≤ k via rotations) — again equi-join only.
+  *  - Embedding near-dup: random-hyperplane sign bucket (row-local)
+  *    → bucket equi-join → exact cosine verify on candidates only.
+  */
+object Dedup {
+
+  /** Content hash for exact dedup (md5 matches DuckDB for oracle
+    * parity; xxhash64 is the cheaper production alternative). */
+  def contentHash(text: Column): Column = md5(text)
+
+  /** Exact dedup: keep the lowest-id row per distinct content hash. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(contentHash(col(textCol))).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** MinHash signature over word `n`-gram shingles: `numHashes`
+    * independent min-hashes, each `min(xxhash64(shingle, seed_i))`.
+    * Pure built-in HOFs — row-local, codegen-friendly. */
+  def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column = {
+    val sh = shingles(tokenize(text), shingleN)
+    val sig = (0 until numHashes).map { i =>
+      aggregate(sh, lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(s, lit(i))))
+    }
+    array(sig: _*)
+  }
+
+  /** LSH banding: split a minhash signature into `bands` bands of
+    * `rowsPerBand` and hash each band → (bandIdx, bandHash) rows.
+    * Docs sharing any band bucket are near-dup candidates. */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+        xxhash64(concat_ws(",",
+          transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string"))), b).as("bucket")))
+
+  /** MinHash-LSH near-duplicate candidate pairs with exact Jaccard
+    * verification. Returns (idA, idB, jaccard) with idA < idB and
+    * jaccard >= threshold. Candidates come ONLY from shared LSH
+    * buckets (equi-join); the exact verify runs on candidates alone. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, numHashes: Int = 16,
+                      bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSets = df.select(
+      col(idCol).as("id"),
+      array_distinct(shingles(tokenize(col(textCol)), shingleN)).as("sh"),
+      minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+    val bucketed = withSets
+      .select(col("id"), col("sh"),
+        explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("id"), col("sh"), col("b.band"), col("b.bucket"))
+    val a = bucketed.select(col("band"), col("bucket"),
+      col("id").as("idA"), col("sh").as("shA"))
+    val b = bucketed.select(col("band"), col("bucket"),
+      col("id").as("idB"), col("sh").as("shB"))
+    a.join(b, Seq("band", "bucket")).filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        (size(array_intersect(col("shA"), col("shB"))).cast("double") /
+          size(array_union(col("shA"), col("shB")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .dropDuplicates("idA", "idB")
+  }
+
+  /** 64-bit SimHash over word tokens: per-bit weighted majority of
+    * token hashes. Row-local UDF (bit loop has no HOF equivalent). */
+  val simhashUdf = udf((tokens: Seq[String]) => {
+    val counts = new Array[Int](64)
+    tokens.foreach { t =>
+      var h = 1125899906842597L // FNV-ish polynomial seed
+      var i = 0
+      while (i < t.length) { h = h * 31L + t.charAt(i); i += 1 }
+      // finalize (xorshift mix) so low bits are well distributed
+      h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1; b += 1 }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  })
+  def simhash(text: Column): Column = simhashUdf(tokenize(text))
+
+  /** Exact n-gram Jaccard between two text columns (verification
+    * scalar; candidate generation must come from LSH, never this). */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    val sa = array_distinct(shingles(tokenize(a), n))
+    val sb = array_distinct(shingles(tokenize(b), n))
+    when(size(sa) === 0 && size(sb) === 0, 1.0)
+      .otherwise(size(array_intersect(sa, sb)).cast("double") /
+        size(array_union(sa, sb)))
+  }
+
+  /** Random-hyperplane sign bucket for embedding LSH: `bits` sign
+    * bits of dot(v, h_i) where h_i is a deterministic pseudo-random
+    * hyperplane derived from xxhash64 of (dim, bit). Row-local. */
+  def signBucket(emb: Column, dim: Int, bits: Int): Column = {
+    val sig = (0 until bits).map { b =>
+      // h_i components in [-0.5, 0.5): hash(j, b) scaled
+      val d = aggregate(
+        zip_with(emb, sequence(lit(0), lit(dim - 1)), (x, j) =>
+          x.cast("double") *
+            ((pmod(xxhash64(j.cast("string"), lit(b)), lit(1000000L))
+              .cast("double") / 1000000.0) - 0.5)),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    sig.reduce((a, c) => a + c)
+  }
+
+  /** Embedding near-dup pairs: sign-LSH bucket equi-join, then exact
+    * cosine verify ≥ threshold. (idA < idB). */
+  def embeddingNearDups(df: DataFrame, idCol: String, embCol: String,
+                        dim: Int, bits: Int = 12,
+                        threshold: Double = 0.95): DataFrame = {
+    val bucketed = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      signBucket(col(embCol), dim, bits).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("idA"), col("emb").as("embA"))
+    val b = bucketed.select(col("bucket"), col("id").as("idB"), col("emb").as("embB"))
+    a.join(b, Seq("bucket")).filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), cosine(col("embA"), col("embB")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .dropDuplicates("idA", "idB")
+  }
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators (SURVEY.md §2.4 A7-A9/A13, §2.5 W5-W6).
+  * Ref: modules/price_forecast/data_utils.py, dataset.py, evaluate.py.
+  *
+  * Scale design: every op is keyed by a series id (`keyCols`) so
+  * windows partition by series, never a global single-partition sort.
+  * The reference processes one fruit at a time; here thousands of
+  * series interpolate in one shuffle.
+  */
+object TimeSeriesOps {
+
+  /** A7: daily mean resample of an event stream.
+    * Ref: data_utils.py:36 (`resample('D').mean()`). */
+  def dailyResample(df: DataFrame, keyCols: Seq[Column], tsCol: Column,
+                    valCol: Column): DataFrame =
+    df.groupBy((keyCols :+ to_date(tsCol).as("day")): _*)
+      .agg(avg(valCol).as("avg_value"))
+
+  /** Dense daily calendar spine per key, left-joined with values —
+    * missing days become nulls (the interpolation input shape).
+    * Spine bounds are per-key min/max dates. */
+  def toDailySpine(daily: DataFrame, keys: Seq[String], dayCol: String,
+                   valCol: String): DataFrame = {
+    val bounds = daily.groupBy(keys.map(col): _*)
+      .agg(min(col(dayCol)).as("_d0"), max(col(dayCol)).as("_d1"))
+    val spine = bounds
+      .select((keys.map(col) :+
+        explode(sequence(col("_d0"), col("_d1"), expr("interval 1 day")))
+          .as(dayCol)): _*)
+    spine.join(daily.select((keys :+ dayCol :+ valCol).map(col): _*),
+      keys :+ dayCol, "left")
+  }
+
+  /** A8: gap-limited, both-direction, time-weighted interpolation,
+    * matching pandas `interpolate(method='time', limit=maxGap,
+    * limit_direction='both')` exactly (ref data_utils.py:38; semantics
+    * verified against pandas — see TimeSeriesSpec):
+    *  - interior null filled with the time-weighted blend when its
+    *    distance to the nearest valid on EITHER side is <= maxGap;
+    *  - leading nulls back-fill, trailing nulls forward-fill, same
+    *    distance bound;
+    *  - nulls farther than maxGap from both sides stay null.
+    * Input must be a dense daily spine (use [[toDailySpine]]).
+    * One shuffle on `keys`; two window passes. */
+  def interpolateGapLimited(spine: DataFrame, keys: Seq[String],
+                            dayCol: String, valCol: String,
+                            maxGap: Int): DataFrame = {
+    val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(dayCol))
+    val before = byKey.rowsBetween(Window.unboundedPreceding, 0)
+    val after = byKey.rowsBetween(0, Window.unboundedFollowing)
+    val v = col(valCol)
+    val withNeighbors = spine
+      .withColumn("_pv", last(v, ignoreNulls = true).over(before))
+      .withColumn("_pd", last(when(v.isNotNull, col(dayCol)), ignoreNulls = true).over(before))
+      .withColumn("_nv", first(v, ignoreNulls = true).over(after))
+      .withColumn("_nd", first(when(v.isNotNull, col(dayCol)), ignoreNulls = true).over(after))
+    val dL = datediff(col(dayCol), col("_pd"))
+    val dR = datediff(col("_nd"), col(dayCol))
+    val inReach = (col("_pd").isNotNull && dL <= maxGap) ||
+      (col("_nd").isNotNull && dR <= maxGap)
+    val interp = col("_pv") +
+      (col("_nv") - col("_pv")) * dL.cast("double") /
+        datediff(col("_nd"), col("_pd")).cast("double")
+    val filled = when(v.isNotNull, v)
+      .when(!inReach, lit(null))
+      .when(col("_pd").isNotNull && col("_nd").isNotNull, interp)
+      .when(col("_nd").isNotNull, col("_nv")) // leading → bfill
+      .when(col("_pd").isNotNull, col("_pv")) // trailing → ffill
+    withNeighbors.withColumn(valCol, filled)
+      .drop("_pv", "_pd", "_nv", "_nd")
+  }
+
+  /** A9: longest contiguous non-null run per key (gaps-and-islands).
+    * Ref: data_utils.py:66-99. Returns (keys..., run_len, run_start). */
+  def longestNonNullRun(spine: DataFrame, keys: Seq[String], dayCol: String,
+                        valCol: String): DataFrame = {
+    val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(dayCol))
+    val islands = spine
+      .withColumn("_nullCnt",
+        sum(when(col(valCol).isNull, 1).otherwise(0)).over(
+          byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col(valCol).isNotNull)
+      .groupBy((keys.map(col) :+ col("_nullCnt")): _*)
+      .agg(count(lit(1)).as("run_len"), min(col(dayCol)).as("run_start"))
+    val best = Window.partitionBy(keys.map(col): _*)
+      .orderBy(desc("run_len"), col("run_start"))
+    islands.withColumn("_rn", row_number().over(best))
+      .filter(col("_rn") === 1).drop("_rn", "_nullCnt")
+  }
+
+  /** Calendar features (ref data_utils.py:49-61): day-of-year /
+    * day-of-week sin+cos seasonal encodings. */
+  def calendarFeatures(df: DataFrame, dayCol: String): DataFrame = {
+    val twoPi = 2.0 * math.Pi
+    val doy = dayofyear(col(dayCol)).cast("double")
+    val dow = (dayofweek(col(dayCol)) - 1).cast("double") // 0..6
+    df.withColumn("doy_sin", sin(doy * twoPi / 365.25))
+      .withColumn("doy_cos", cos(doy * twoPi / 365.25))
+      .withColumn("dow_sin", sin(dow * twoPi / 7.0))
+      .withColumn("dow_cos", cos(dow * twoPi / 7.0))
+  }
+
+  /** W5: sliding lookback×horizon training windows per key: for each
+    * row, the previous `lookback` values (incl. current) and next
+    * `horizon` values; only complete windows kept.
+    * Ref: dataset.py:52-58. */
+  def slidingWindows(df: DataFrame, keys: Seq[String], orderCol: String,
+                     valCol: String, lookback: Int, horizon: Int): DataFrame = {
+    val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("features",
+        collect_list(col(valCol)).over(byKey.rowsBetween(-(lookback - 1), 0)))
+      .withColumn("targets",
+        collect_list(col(valCol)).over(byKey.rowsBetween(1, horizon)))
+      .filter(size(col("features")) === lookback && size(col("targets")) === horizon)
+  }
+
+  /** A13 regression metric aggregates (ref evaluate.py:13-58, sMAPE
+    * data_utils.py:151-159). Use inside one `agg(...)`. */
+  def rmse(actual: Column, pred: Column): Column =
+    sqrt(avg(pow(pred - actual, 2.0)))
+
+  /** R² as a single-pass aggregate: 1 - SSres/SStot with
+    * SStot = sum(a²) - n·mean(a)². Safe for grouped aggregation. */
+  def r2Agg(actual: Column, pred: Column): Column = {
+    val ssRes = sum(pow(actual - pred, 2.0))
+    val ssTot = sum(pow(actual, 2.0)) - count(actual) * pow(avg(actual), 2.0)
+    lit(1.0) - ssRes / ssTot
+  }
+
+  def smape(actual: Column, pred: Column): Column =
+    avg(lit(2.0) * abs(pred - actual) /
+      greatest(abs(actual) + abs(pred), lit(1e-8))) * 100.0
+}
