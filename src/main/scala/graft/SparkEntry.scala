@@ -4,9 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Relational, TextAnalysis, TimeSeriesOps, VectorSearch}
+import graft.operators.{Dedup, Multimodal, Relational, TextAnalysis, TimeSeriesOps, VectorSearch}
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions
+import graft.fixtures.Fixtures
+import graft.ingest.Ingest
+import graft.search.SearchPipeline
+import graft.streaming.SentenceSegmenter
 
 /** Driver contract (see /root/repo/SURVEY.md §2 for operator IDs).
   *
@@ -365,8 +369,170 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), round(col("s"), 4).as("score"))),
   )
 
+  /** Time-series pipeline ops (A8 interpolation, A15 trend reduce). */
+  private val timeSeries: Map[String, Q] = Map(
+    "a8_interpolate" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .filter(col("event_type") === "purchase" && col("user_id") < 20)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("v"))
+      val spine = TimeSeriesOps.toDailySpine(daily, Seq("user_id"), "day", "v")
+      TimeSeriesOps.interpolateGapLimited(spine, Seq("user_id"), "day", "v", 3)
+        .select(col("user_id"), col("day"), round(col("v"), 4).as("v"))
+        .orderBy("user_id", "day")
+    }),
+    "a15_trend" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy("event_type")
+        .agg(round(aggregate(
+          slice(sort_array(collect_list(round(col("value"), 2)), asc = false), 1, 3),
+          lit(0.0), (acc, x) => acc + x), 2).as("top3_sum"))
+        .orderBy("event_type")),
+    "w5_windows" -> ((s, d) => {
+      val daily = t(s, d, "events").filter(col("user_id") === 2)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(round(avg("value"), 4).as("v"))
+      TimeSeriesOps.slidingWindows(daily, Seq.empty, "day", "v", 5, 2)
+        .select(col("day"),
+          round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 4).as("f_sum"),
+          round(aggregate(col("targets"), lit(0.0), (a, x) => a + x), 4).as("t_sum"))
+        .orderBy("day")
+    }),
+  )
+
+  /** Catalog + interleave + L2-branch scoring (S3, W8, A12-L2). */
+  private val engineOps: Map[String, Q] = Map(
+    "s3_catalog" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.createDataFrame(Tables.names.sorted.map(Tuple1(_)))
+        .toDF("table_name")
+    }),
+    "w8_roundrobin" -> ((s, d) => {
+      val rr = Relational.topNPerGroup(
+        t(s, d, "orders").filter(col("o_custkey") < 200),
+        Seq(col("o_orderpriority")), Seq(desc("o_totalprice"), col("o_orderkey")), 5)
+      rr.orderBy(col("rn"), col("o_orderpriority"))
+        .select(col("o_orderpriority").as("priority"),
+          col("rn").cast("bigint").as("rn"),
+          col("o_orderkey"), round(col("o_totalprice"), 2).as("total_price"))
+        .limit(15)
+    }),
+    "a12_l2branch" -> ((s, d) => {
+      val q = lit(queryVec(s, d, 0L))
+      t(s, d, "embeddings").filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(VectorFunctions.l2ToSimilarity(
+            VectorFunctions.l2Dist(col("embedding"), q)), 4).as("sim"))
+        .orderBy(desc("sim"), col("vec_id")).limit(10)
+    }),
+  )
+
+  /** Fixture-backed queries (oracle = the same rows as VALUES lists):
+    * nested-JSON grocery (S5/A6/W7), news serving filters (P6/P11/P12/
+    * W2), the stateful sentence segmenter golden (ST2), cp949 CSV (S4). */
+  private val fixtureOps: Map[String, Q] = Map(
+    "grocery_minmax" -> ((s, _) =>
+      Fixtures.grocery(s).select(col("category"), col("product"), col("unit"),
+          explode(col("stores")).as("st"))
+        .groupBy("category", "product", "unit")
+        .agg(min(col("st.price")).cast("bigint").as("lo"),
+          max(col("st.price")).cast("bigint").as("hi"))
+        .orderBy("product")),
+    "grocery_beststore" -> ((s, _) => {
+      val st = Fixtures.grocery(s).select(col("product"),
+        explode(col("stores")).as("s"))
+        .select(col("product"), col("s.name").as("store"),
+          col("s.price").cast("bigint").as("price"))
+      Relational.latestPerKey(st, Seq(col("product")),
+          Seq(asc("price"), asc("store")))
+        .orderBy("product")
+    }),
+    "news_top" -> ((s, _) => {
+      val kws = Seq("반도체", "배터리", "금리")
+      Fixtures.news(s)
+        .withColumn("clean", TextFunctions.stripHtml(col("content")))
+        .filter(!col("is_summary") && length(col("clean")) > 30 &&
+          kws.map(k => col("title").contains(k) || col("clean").contains(k))
+            .reduce(_ || _))
+        .select(col("title"), col("published_date"),
+          round(col("score"), 2).as("score"))
+        .orderBy(desc("score"), col("title")).limit(10)
+    }),
+    "st_segment" -> ((s, _) => {
+      import s.implicits._
+      val ds = Fixtures.tokenStream.toDF("session_id", "seq", "chunk")
+        .as[(String, Long, String)]
+      ds.groupByKey(_._1).flatMapGroups { (sid, it) =>
+        SentenceSegmenter.segmentAll(it.toSeq.sortBy(_._2).map(_._3))
+          .zipWithIndex.map { case (sent, i) => (sid, i.toLong, sent) }
+      }.toDF("session_id", "idx", "sentence").orderBy("session_id", "idx")
+    }),
+    "fruit_csv" -> ((s, _) =>
+      Fixtures.fruitPrices(s).agg(
+        count(lit(1)).as("n_days"),
+        round(avg("price"), 2).as("avg_price"),
+        date_format(min("date"), "yyyy-MM-dd").as("first_day"),
+        date_format(max("date"), "yyyy-MM-dd").as("last_day"))),
+  )
+
+  /** Ingest/search/multimodal composite pipelines (§2.10) — driven by
+    * the deterministic hash embedder; oracle-exempt (rows-only) where
+    * the JVM hash math has no SQL equivalent. */
+  private val pipelineOps: Map[String, Q] = Map(
+    "ingest_chunks" -> ((s, _) => {
+      val k = Fixtures.knowledge(s)
+      val schema = Ingest.inferSchema(k.columns.toSeq)
+      Ingest.buildIndex(k, schema, "knowledge", dim = 256)
+        .groupBy("save_name")
+        .agg(count(lit(1)).as("n_chunks"), countDistinct("doc_id").as("n_docs"),
+          sum(length(col("content"))).as("total_chars"))
+    }),
+    "rag_sources" -> ((s, _) => {
+      val k = Fixtures.knowledge(s)
+      val schema = Ingest.inferSchema(k.columns.toSeq)
+      val idx = Ingest.buildIndex(k, schema, "knowledge", dim = 512)
+      SearchPipeline.sources(
+        SearchPipeline.search(idx, "Self-Attention이 뭐야?", topK = 5,
+          margin = 0.5, simFloor = 0.0, dim = 512))
+        .orderBy("marker")
+    }),
+    "langid_confusion" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("pred", TextAnalysis.langId(col("text")))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")),
+    "quality_scores" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("q", TextAnalysis.qualityScore(col("text")))
+        .groupBy("source").agg(round(avg("q"), 4).as("avg_quality"))
+        .orderBy("source")),
+    "multimodal_decode" -> ((s, d) => {
+      val assets = t(s, d, "documents")
+        .select(col("doc_id").as("asset_id"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio").otherwise("video")
+            .as("media_type"),
+          concat(lit("mem://"), col("doc_id")).as("uri"),
+          encode(col("text"), "UTF-8").as("bytes"),
+          map(lit("src"), col("source")).as("meta"))
+      Multimodal.decode(assets)
+        .groupBy("media_type")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("decoded.width")), 4).as("avg_w"),
+          round(avg(col("decoded.duration_s")), 4).as("avg_dur"))
+        .orderBy("media_type")
+    }),
+    "embed_neardups" -> ((s, d) =>
+      Dedup.embeddingNearDups(
+        t(s, d, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding",
+        dim = 64, bits = 8, threshold = 0.8)
+        .agg(count(lit(1)).as("n_pairs"), round(avg("cos"), 4).as("avg_cos"))),
+  )
+
   def queries: Map[String, Q] =
-    aggregates ++ filters ++ joins ++ windows ++ scalarsAndSets ++ llmOps ++ vectorOps
+    aggregates ++ filters ++ joins ++ windows ++ scalarsAndSets ++ llmOps ++
+      vectorOps ++ timeSeries ++ engineOps ++ fixtureOps ++ pipelineOps
 
   // ---------------------------------------------------------------- //
 
@@ -459,6 +625,64 @@ object SparkEntry {
     "v3_margin" -> (knnTopSql.format(20) +
       ", m AS (SELECT vec_id, s, max(s) OVER () AS best FROM top) " +
       "SELECT vec_id, round(s,4) AS score FROM m WHERE s >= 0.1 AND s >= greatest(best - 0.12, best * 0.88) ORDER BY score DESC, vec_id"),
+    "a8_interpolate" -> ("WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS v FROM events WHERE event_type = 'purchase' AND user_id < 20 GROUP BY 1, 2), " +
+      "b AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1), " +
+      "spine AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b), " +
+      "s AS (SELECT sp.user_id, sp.day, d.v FROM spine sp LEFT JOIN d USING (user_id, day)), " +
+      "w AS (SELECT *, " +
+      "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv, " +
+      "last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd, " +
+      "first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv, " +
+      "first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd " +
+      "FROM s) " +
+      "SELECT user_id, day, round(CASE WHEN v IS NOT NULL THEN v " +
+      "WHEN NOT ((pd IS NOT NULL AND day - pd <= 3) OR (nd IS NOT NULL AND nd - day <= 3)) THEN NULL " +
+      "WHEN pd IS NOT NULL AND nd IS NOT NULL THEN pv + (nv - pv) * (day - pd) / (nd - pd) " +
+      "WHEN nd IS NOT NULL THEN nv ELSE pv END, 4) AS v FROM w ORDER BY user_id, day"),
+    "a15_trend" -> ("SELECT event_type, round(list_sum(list_slice(list(round(value,2) ORDER BY round(value,2) DESC), 1, 3)), 2) AS top3_sum " +
+      "FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY event_type ORDER BY event_type"),
+    "w5_windows" -> ("WITH d AS (SELECT CAST(ts AS DATE) AS day, round(avg(value),4) AS v FROM events WHERE user_id = 2 GROUP BY day), " +
+      "w AS (SELECT day, " +
+      "sum(v) OVER (ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS fs, " +
+      "count(*) OVER (ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS fc, " +
+      "sum(v) OVER (ORDER BY day ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS ts, " +
+      "count(*) OVER (ORDER BY day ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS tc FROM d) " +
+      "SELECT day, round(fs,4) AS f_sum, round(ts,4) AS t_sum FROM w WHERE fc = 5 AND tc = 2 ORDER BY day"),
+    "s3_catalog" -> ("SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),('events'),('lineitem')," +
+      "('nation'),('orders'),('part'),('region'),('supplier')) AS t(table_name) ORDER BY table_name"),
+    "w8_roundrobin" -> ("SELECT o_orderpriority AS priority, rn, o_orderkey, round(o_totalprice,2) AS total_price FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+      "FROM orders WHERE o_custkey < 200) WHERE rn <= 5 ORDER BY rn, priority LIMIT 15"),
+    "a12_l2branch" -> ("WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) " +
+      "SELECT vec_id, round(1.0/(1.0 + list_distance(CAST(e.embedding AS DOUBLE[]), qe)), 4) AS sim " +
+      "FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10"),
+    "grocery_minmax" -> ("SELECT * FROM (VALUES ('과일','바나나','100g',CAST(350 AS BIGINT),CAST(420 AS BIGINT))," +
+      "('채소','방울토마토','1kg',8500,9400),('과일','사과','1kg',5500,6200)," +
+      "('과일','샤인머스캣','2kg',21500,25000),('채소','오이','3개',2700,3100)) " +
+      "AS t(category,product,unit,lo,hi) ORDER BY product"),
+    "grocery_beststore" -> ("SELECT * FROM (VALUES ('바나나','마트B',CAST(350 AS BIGINT))," +
+      "('방울토마토','마트C',8500),('사과','마트B',5500),('샤인머스캣','마트B',21500),('오이','마트C',2700)) " +
+      "AS t(product,store,price) ORDER BY product"),
+    "news_top" -> ("SELECT * FROM (VALUES ('AI 반도체 시장 급성장','2025-07-30',CAST(0.91 AS DOUBLE))," +
+      "('전기차 배터리 혁신','2025-07-31',0.88),('금리 동결 전망','2025-07-29',0.84)) " +
+      "AS t(title,published_date,score) ORDER BY score DESC, title LIMIT 10"),
+    // Deterministic fixture-pipeline goldens (hash embedder / chunker /
+    // decode stub are pure JVM functions; rows recorded once and pinned):
+    "fruit_csv" -> ("SELECT * FROM (VALUES (CAST(71 AS BIGINT), CAST(3046.68 AS DOUBLE), '2025-01-01', '2025-04-30')) " +
+      "AS t(n_days, avg_price, first_day, last_day)"),
+    "ingest_chunks" -> ("SELECT * FROM (VALUES ('knowledge', CAST(7 AS BIGINT), CAST(7 AS BIGINT), CAST(3243 AS BIGINT))) " +
+      "AS t(save_name, n_chunks, n_docs, total_chars)"),
+    "rag_sources" -> ("SELECT * FROM (VALUES ('S1','2','Self-Attention','Self-Attention',CAST(0.5 AS DOUBLE))," +
+      "('S2','4','Transformer','Transformer',0.4892),('S3','1','어텐션 메커니즘','어텐션 메커니즘',0.4606)) " +
+      "AS t(marker,id,title,oo,score) ORDER BY marker"),
+    "multimodal_decode" -> ("SELECT * FROM (VALUES ('audio',CAST(167 AS BIGINT),CAST(723.3533 AS DOUBLE),CAST(31.0641 AS DOUBLE))," +
+      "('image',167,743.4731,31.1377),('video',166,721.9277,32.456)) " +
+      "AS t(media_type,n,avg_w,avg_dur) ORDER BY media_type"),
+    "st_segment" -> ("SELECT * FROM (VALUES ('s1',CAST(0 AS BIGINT),'안녕하세요.')," +
+      "('s1',1,'오늘은 날씨가 좋습니다!'),('s1',2,'내일은 비가 온다고 합니다.'),('s1',3,'우산을 챙기세요')," +
+      "('s2',0,'First sentence here.')," +
+      "('s2',1,'Second one continues, with a comma pause that runs long enough to flush.')," +
+      "('s2',2,'And a tail without end')) AS t(session_id,idx,sentence) ORDER BY session_id, idx"),
     "v4_diversify" -> (knnTopSql.format(20) +
       ", capped AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY label ORDER BY s DESC, vec_id) AS gr FROM top) WHERE gr <= 2), " +
       "g AS (SELECT *, min(pos) OVER (PARTITION BY label) AS gpos FROM (SELECT *, row_number() OVER (ORDER BY s DESC, vec_id) AS pos FROM capped)) " +

@@ -1,0 +1,159 @@
+package graft.fixtures
+
+import java.nio.charset.Charset
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic re-creations of the reference's fixture data
+  * (FIXTURES.md; the reference's own "simulation mode" is its de-facto
+  * fixture system, SURVEY §5). Used by ScalaTest specs and by the
+  * fixture-backed SparkEntry queries (whose oracle SQL re-states the
+  * same rows as VALUES lists for the DuckDB compare).
+  */
+object Fixtures {
+
+  /** `knowledge` — the canonical 7 RAG rows (init-db.sql). */
+  val knowledgeRows: Seq[(Int, String, String, String, String)] = Seq(
+    (1, "어텐션 메커니즘",
+      "어텐션은 입력의 중요한 부분에 가중치를 부여해 정보를 통합하는 기법이다. 시퀀스 처리에서 문맥 의존성을 강화한다.",
+      "입력 토큰 간 상호연관성을 계산하며 정보 흐름을 개선한다.",
+      "Transformer의 핵심 구성요소로 번역·요약 등에서 성능을 끌어올린다."),
+    (2, "Self-Attention",
+      "Self-Attention은 동일 시퀀스 내 토큰들이 서로를 참조하여 가중합을 구한다. RNN의 순차 의존성을 줄여 병렬화를 가능케 한다.",
+      "장기 의존성 문제를 완화하고 각 토큰의 전역 문맥 파악을 돕는다.",
+      "멀티헤드로 다양한 표현 공간에서 주의를 분산해 학습을 안정화한다."),
+    (3, "FAISS",
+      "FAISS는 대규모 벡터에 대한 빠른 유사도 검색을 제공한다. 근사 최근접 탐색을 지원한다.",
+      "대규모 임베딩 인덱싱과 빠른 검색을 제공한다.",
+      "Facebook AI Research에서 개발되었고 CPU/GPU 백엔드를 제공한다."),
+    (4, "Transformer",
+      "Transformer는 어텐션 메커니즘만을 사용한 신경망 아키텍처이다. RNN이나 CNN 없이도 우수한 성능을 보여준다.",
+      "자연어 처리의 패러다임을 바꾼 혁신적 모델이다.",
+      "BERT, GPT 등 현대 언어모델의 기반이 되었다."),
+    (5, "RAG",
+      "RAG(Retrieval Augmented Generation)는 외부 지식을 검색하여 생성 모델의 답변 품질을 향상시키는 기법이다.",
+      "지식베이스에서 관련 정보를 검색하고 이를 바탕으로 답변을 생성한다.",
+      "LLM의 한계인 지식 업데이트와 환각 문제를 완화할 수 있다."),
+    (6, "벡터 데이터베이스",
+      "벡터 데이터베이스는 고차원 벡터를 효율적으로 저장하고 검색할 수 있도록 설계된 데이터베이스이다.",
+      "임베딩 벡터 간 유사도 검색을 빠르게 수행한다.",
+      "Pinecone, Weaviate, Chroma 등이 대표적인 벡터 DB이다."),
+    (7, "임베딩",
+      "임베딩은 단어, 문장, 문서 등을 고차원 벡터 공간의 점으로 표현하는 기법이다.",
+      "의미적 유사성을 벡터 간 거리로 측정할 수 있게 해준다.",
+      "Word2Vec, BERT, OpenAI의 text-embedding 모델 등이 활용된다."))
+
+  def knowledge(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    knowledgeRows.toDF("id", "term", "description", "role", "details")
+  }
+
+  /** `grocery_deals` — nested JSON fixture (data/grocery_deals.json
+    * shape, grocery_rag_service.py:27-86). 5 products × 3 stores,
+    * deterministic prices. */
+  val groceryJson: String =
+    """[
+      |{"category":"과일","product":"사과","unit":"1kg","stores":[
+      |  {"name":"마트A","price":5900,"location":"서울","discount":"10%"},
+      |  {"name":"마트B","price":5500,"location":"부산","discount":null},
+      |  {"name":"마트C","price":6200,"location":"대구","discount":"5%"}]},
+      |{"category":"과일","product":"바나나","unit":"100g","stores":[
+      |  {"name":"마트A","price":390,"location":"서울","discount":null},
+      |  {"name":"마트B","price":350,"location":"부산","discount":"20%"},
+      |  {"name":"마트C","price":420,"location":"대구","discount":null}]},
+      |{"category":"채소","product":"방울토마토","unit":"1kg","stores":[
+      |  {"name":"마트A","price":8900,"location":"서울","discount":null},
+      |  {"name":"마트B","price":9400,"location":"부산","discount":null},
+      |  {"name":"마트C","price":8500,"location":"대구","discount":"15%"}]},
+      |{"category":"채소","product":"오이","unit":"3개","stores":[
+      |  {"name":"마트A","price":2900,"location":"서울","discount":"5%"},
+      |  {"name":"마트B","price":3100,"location":"부산","discount":null},
+      |  {"name":"마트C","price":2700,"location":"대구","discount":null}]},
+      |{"category":"과일","product":"샤인머스캣","unit":"2kg","stores":[
+      |  {"name":"마트A","price":23900,"location":"서울","discount":null},
+      |  {"name":"마트B","price":21500,"location":"부산","discount":"10%"},
+      |  {"name":"마트C","price":25000,"location":"대구","discount":null}]}
+      |]""".stripMargin
+
+  def grocery(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.read.option("multiLine", true).json(Seq(groceryJson).toDS)
+  }
+
+  /** News/search-result fixture (helpers.py:76-88 result shape):
+    * HTML-tagged content, a <50-char row, keyword matches, mixed
+    * dates, an is_summary row. */
+  val newsRows: Seq[(String, String, String, Double, String, String, Boolean)] = Seq(
+    ("AI 반도체 시장 급성장", "https://ex.com/1",
+      "<p>AI 반도체 수요가 <b>급증</b>하며 시장이 재편되고 있다. HBM 메모리가 핵심 부품으로 떠올랐다.</p>",
+      0.91, "2025-07-30", "economy", false),
+    ("금리 동결 전망", "https://ex.com/2",
+      "<div>중앙은행이 기준 금리를 동결할 것이라는 전망이 우세하다. 물가 상승률이 둔화되고 있기 때문이다.</div>",
+      0.84, "2025-07-29", "economy", false),
+    ("too short", "https://ex.com/3", "짧은 기사", 0.50, "2025-07-28", "it", false),
+    ("전기차 배터리 혁신", "https://ex.com/4",
+      "차세대 전기차 배터리 기술이 공개되었다. 충전 속도가 두 배로 빨라지고 주행 거리도 크게 늘었다.",
+      0.88, "2025-07-31", "it", false),
+    ("주간 경제 요약", "https://ex.com/5",
+      "이번 주 경제 뉴스를 요약한 내용입니다. 금리, 환율, 반도체 업황을 다룹니다.",
+      0.95, "2025-07-31", "economy", true))
+
+  def news(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    newsRows.toDF("title", "url", "content", "score", "published_date",
+      "category", "is_summary")
+  }
+
+  /** Token-stream fixture for the stateful sentence segmenter
+    * (streaming_tts_service.py:25-69): chunks split mid-sentence, a
+    * partial-flush comma trigger, and an unterminated remainder. */
+  val tokenStream: Seq[(String, Long, String)] = Seq(
+    ("s1", 0L, "안녕하세요. 오늘"), ("s1", 1L, "은 날씨가 좋"), ("s1", 2L, "습니다! 내일은 비"),
+    ("s1", 3L, "가 온다고 합니다"), ("s1", 4L, ". 우산을 챙기세요"),
+    ("s2", 0L, "First sentence here. Second one"),
+    ("s2", 1L, " continues, with a comma pause that runs long enough to flush"),
+    ("s2", 2L, ". And a tail without end"))
+
+  /** Fruit-price CSV fixture (cp949, BOM-garbage first line, comma
+    * thousands — data_utils.py:11-38): written to a temp file so the
+    * S4 reader path (encoding fallback + comma strip) is exercised on
+    * real bytes. Returns the file path. */
+  lazy val fruitCsvPath: Path = {
+    val rows = new StringBuilder("날짜,가격\n")
+    var price = 3000
+    for (i <- 0 until 120) {
+      val day = java.time.LocalDate.of(2025, 1, 1).plusDays(i)
+      // weekend gaps + one long hole (days 60..80)
+      val dow = day.getDayOfWeek.getValue
+      if (dow <= 5 && !(i >= 60 && i < 80)) {
+        price += (if (i % 3 == 0) 17 else -11) + (i % 7)
+        val grouped = price.toString.reverse.grouped(3).mkString(",").reverse
+        rows ++= s"""${day.getYear}.${f"${day.getMonthValue}%02d"}.${f"${day.getDayOfMonth}%02d"},"$grouped"\n"""
+      }
+    }
+    val p = Files.createTempFile("fruit_", ".csv")
+    // UTF-8 BOM bytes ahead of cp949 content — decoded as cp949 they
+    // become the reference files' 癤-garbage first cell
+    // (data/바나나 100g 가격정보.csv:1, SURVEY §7.4)
+    val bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+    Files.write(p, bom ++ rows.toString.getBytes(Charset.forName("x-windows-949")))
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  /** S4: CSV scan with cp949 encoding and thousands-comma strip →
+    * (date DATE, price DOUBLE), bad first line dropped. */
+  def fruitPrices(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read
+      .option("encoding", "x-windows-949")
+      .option("header", "false")
+      .csv(fruitCsvPath.toString)
+      .toDF("date_str", "price_str")
+      .select(
+        try_to_date(regexp_replace(col("date_str"), "[^0-9.]", ""), "yyyy.MM.dd").as("date"),
+        regexp_replace(col("price_str"), ",", "").try_cast("double").as("price"))
+      .filter(col("date").isNotNull && col("price").isNotNull)
+  }
+}

@@ -32,16 +32,47 @@ object Dedup {
   }
 
   /** MinHash signature over word `n`-gram shingles: `numHashes`
-    * independent min-hashes, each `min(xxhash64(shingle, seed_i))`.
-    * Pure built-in HOFs — row-local, codegen-friendly. */
-  def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column = {
-    val sh = shingles(tokenize(text), shingleN)
-    val sig = (0 until numHashes).map { i =>
-      aggregate(sh, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(s, lit(i))))
-    }
-    array(sig: _*)
+    * independent min-hashes of each shingle under per-seed 64-bit
+    * mixes. One compiled pass per row (tokens → shingles → k mins):
+    * a HOF formulation re-inlines the shingle expression into every
+    * one of the k aggregates after project-collapse, costing k× the
+    * shingling — measured 26 s vs <1 s on the sf0.001 corpus. */
+  def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
+    minhashSigUdf(shingleN, numHashes)(tokenize(text))
+
+  private def mix64(h0: Long): Long = {
+    var h = h0
+    h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
+    h ^= (h >>> 33); h *= 0xc4ceb9fe1a85ec53L
+    h ^= (h >>> 33); h
   }
+
+  def minhashSigUdf(shingleN: Int, numHashes: Int) = udf((tokens: Seq[String]) => {
+    val seeds = Array.tabulate(numHashes)(i => mix64(0x9e3779b97f4a7c15L * (i + 1)))
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    if (tokens != null && tokens.length >= shingleN) {
+      var i = 0
+      while (i <= tokens.length - shingleN) {
+        var h = 1125899906842597L
+        var j = 0
+        while (j < shingleN) {
+          val t = tokens(i + j)
+          var k = 0
+          while (k < t.length) { h = h * 31L + t.charAt(k); k += 1 }
+          h = h * 31L + ' '
+          j += 1
+        }
+        var s = 0
+        while (s < numHashes) {
+          val v = mix64(h ^ seeds(s))
+          if (v < mins(s)) mins(s) = v
+          s += 1
+        }
+        i += 1
+      }
+    }
+    mins.toSeq
+  })
 
   /** LSH banding: split a minhash signature into `bands` bands of
     * `rowsPerBand` and hash each band → (bandIdx, bandHash) rows.

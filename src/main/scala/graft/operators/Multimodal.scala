@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for a training-data pipeline (north-star
+  * requirement; no reference counterpart). Media assets ride as opaque
+  * `binary` columns next to typed metadata; decode / feature-extract /
+  * resize / frame-sample are per-partition batch transforms.
+  *
+  * The actual codec work is STUBBED (this container ships no
+  * image/audio libraries): [[decodeStub]] derives deterministic fake
+  * dimensions/features from the bytes. The Spark-side plumbing —
+  * schema, partition-batch processing shape, row-group sizing — is
+  * real and is what a production codec would drop into (swap the stub
+  * inside the same `mapPartitions`, which batches per task exactly
+  * like an `mapInPandas`/Arrow UDF would).
+  *
+  * Scale notes: media blobs make wide rows — the asset table should
+  * set a small `parquet.block.size` / use `maxPartitionBytes` tuned
+  * down so a partition of blobs fits executor memory; metadata-only
+  * queries must select typed columns (column pruning keeps the scan
+  * from touching the blob pages at all — parquet stores the binary
+  * column in its own chunk).
+  */
+object Multimodal {
+
+  /** Asset table schema: media as binary + typed metadata. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("uri", StringType),
+    StructField("bytes", BinaryType),
+    StructField("meta", MapType(StringType, StringType))))
+
+  /** Deterministic fake decode: width/height/duration derived from a
+    * 64-bit mix of the bytes — a stand-in with the exact signature a
+    * real decoder would have (bytes → struct). */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Double) = {
+    var h = 1125899906842597L
+    if (bytes != null) {
+      var i = 0
+      while (i < math.min(bytes.length, 4096)) { h = h * 31L + bytes(i); i += 1 }
+    }
+    h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+    val w = 160 + java.lang.Math.floorMod(h, 8L).toInt * 160        // 160..1280
+    val ht = 120 + java.lang.Math.floorMod(h >>> 8, 8L).toInt * 120 // 120..960
+    val dur = 1.0 + java.lang.Math.floorMod(h >>> 16, 600L) / 10.0  // 1..61 s
+    (w, ht, dur)
+  }
+
+  private val decodedType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("duration_s", DoubleType)))
+
+  /** Decode pass: per-partition batch loop (the Arrow-batch shape),
+    * emitting typed media metadata next to the original columns. */
+  def decode(assets: DataFrame): DataFrame = {
+    val schema = StructType(assets.schema.fields :+ StructField("decoded", decodedType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, d) = decodeStub(r.getAs[Array[Byte]]("bytes"))
+        Row.fromSeq(r.toSeq :+ Row(w, h, d))
+      }
+    }(enc)
+  }
+
+  /** Feature extraction stub: 16-bin byte histogram, L1-normalized —
+    * the batch/UDF shape of an embedding-from-pixels pass. */
+  val byteHistogramUdf = udf((bytes: Array[Byte]) => {
+    val hist = new Array[Double](16)
+    if (bytes != null && bytes.nonEmpty) {
+      var i = 0
+      while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1.0; i += 1 }
+      var j = 0
+      while (j < 16) { hist(j) /= bytes.length; j += 1 }
+    }
+    hist.toSeq
+  })
+
+  /** Frame sampling stub: every `stride`-th 256-byte "frame" of the
+    * blob → (frame_idx, frame_bytes) rows via posexplode. Real video
+    * sampling swaps the slicing lambda, keeps the explode shape. */
+  def sampleFrames(assets: DataFrame, stride: Int): DataFrame = {
+    val frameUdf = udf((bytes: Array[Byte]) => {
+      if (bytes == null) Seq.empty[Array[Byte]]
+      else bytes.grouped(256).zipWithIndex.collect {
+        case (frame, i) if i % stride == 0 => frame
+      }.toSeq
+    })
+    assets.select(col("asset_id"),
+      posexplode(frameUdf(col("bytes"))).as(Seq("frame_idx", "frame_bytes")))
+  }
+
+  /** "Resize" stub: truncate/pad the blob to `targetBytes` (the shape
+    * of a thumbnailing pass: binary in → smaller binary out). */
+  val resizeUdf = udf((bytes: Array[Byte], target: Int) =>
+    if (bytes == null) Array.empty[Byte]
+    else java.util.Arrays.copyOf(bytes, target))
+}

@@ -1,0 +1,128 @@
+package graft.search
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.nfkc
+import graft.functions.VectorFunctions.cosine
+import graft.ingest.HashEmbedder
+import graft.operators.VectorSearch
+
+/** The flagship vector-QA read path (SURVEY §3.1, ref
+  * enhanced_internal_db_service.py:634-816) as one composable Spark
+  * pipeline: fetch_k k-NN → IP score normalization → margin+floor cut
+  * → strong-anchor filter (P9) → per-title cap + round-robin diversify
+  * → marker assignment → marked-context assembly (A14).
+  *
+  * Scale: the k-NN is a pruned scan + TakeOrderedAndProject (top
+  * fetch_k, merge on driver); everything after operates on ≤ fetch_k
+  * rows. The index DataFrame is partitioned by save_name, so the
+  * save-name filter is partition pruning, not a scan.
+  */
+object SearchPipeline {
+
+  final case class Anchors(strong: Set[String], weak: Set[String])
+
+  private val weakKo = Set("무엇", "무엇인가", "뭐야", "뭔가", "정의", "설명",
+    "설명하라", "설명해", "역할", "개요", "특징", "장점", "한계", "의미",
+    "소개", "예시", "예", "비교")
+  private val weakEn = Set("what", "define", "definition", "explain", "role",
+    "overview", "feature", "pros", "cons")
+  private val wordRe = "[가-힣a-z0-9][가-힣a-z0-9\\-_/]+".r
+
+  private def nfkcLower(s: String): String =
+    Normalizer.normalize(s, Normalizer.Form.NFKC).toLowerCase
+
+  /** Strong/weak anchor extraction from the query (ref :729-755):
+    * NFKC-normalized ≥2-char tokens minus interrogative stop-terms,
+    * plus the reference's domain synonym expansions. Driver-side pure
+    * function — the query string is a scalar. */
+  def anchorsFromQuery(q: String): Anchors = {
+    val words = wordRe.findAllIn(q.toLowerCase).map(w => nfkcLower(w).trim)
+      .filter(_.length >= 2).toSet
+    var strong = words -- weakKo -- weakEn
+    val weak = words & (weakKo ++ weakEn)
+    val n = nfkcLower(q)
+    if ("\\brag\\b".r.findFirstIn(n).isDefined)
+      strong ++= Set("rag", "retrieval augmented generation", "리트리벌 증강 생성", "리트리벌")
+    if (n.contains("faiss")) strong += "faiss"
+    if (n.contains("self-attention") || n.contains("self attention"))
+      strong ++= Set("self-attention", "self attention", "셀프어텐션", "셀프 어텐션", "자기주의", "자기-주의")
+    if (n.contains("attention")) strong ++= Set("attention", "어텐션", "주의")
+    Anchors(strong, weak)
+  }
+
+  /** P9 strong-anchor predicate: NFKC-lowered content (with the
+    * "passage:" marker blanked) or title must contain ≥1 strong
+    * anchor. Ref: :757-763. */
+  def strongAnchorPredicate(content: Column, title: Column,
+                            strong: Set[String]): Column =
+    if (strong.isEmpty) lit(false)
+    else {
+      val text = lower(nfkc(regexp_replace(content, "passage:", " ")))
+      val ttl = lower(nfkc(coalesce(title, lit(""))))
+      strong.toSeq.sorted.map(a => text.contains(a) || ttl.contains(a))
+        .reduce(_ || _)
+    }
+
+  /** Full retrieval: returns the kept (≤ topK) chunks with normalized
+    * scores and S1.. markers, ordered as the reference's round-robin
+    * emits them. Config defaults mirror backend_config.yaml
+    * (margin 0.12, sim_floor 0.35, per_title_cap 3, fetch ×4). */
+  def search(index: DataFrame, question: String, topK: Int = 5,
+             margin: Double = 0.12, simFloor: Double = 0.35,
+             perTitleCap: Int = 3, fetchMultiplier: Int = 4,
+             dim: Int = HashEmbedder.DefaultDim): DataFrame = {
+    val fetchK = math.max(topK * fetchMultiplier, topK + 5)
+    val qvec = HashEmbedder.embed("query: " + question.trim, dim)
+    val top = index
+      .select(col("chunk_id"), col("doc_id"), col("title"), col("oo"),
+        col("content"), col("metadata"),
+        cosine(col("embedding"), lit(qvec)).as("score"))
+      .orderBy(desc("score"), col("chunk_id"))
+      .limit(fetchK)
+    val normalized = VectorSearch.normalizeScoresIP(top)
+    val cut = VectorSearch.marginFilter(normalized, margin, simFloor)
+    val anchors = anchorsFromQuery(question)
+    val anchored =
+      if (anchors.strong.isEmpty) cut
+      else cut.filter(strongAnchorPredicate(col("content"), col("title"), anchors.strong))
+    val groupKey = lower(nfkc(coalesce(
+      when(length(col("title")) > 0, col("title")), col("oo"), lit("unknown"))))
+    val kept = VectorSearch.diversify(
+      anchored.withColumn("_g", groupKey), col("_g"), col("chunk_id"),
+      perTitleCap, topK).drop("_g")
+    kept.withColumn("marker",
+      concat(lit("S"), row_number().over(
+        Window.orderBy(monotonically_increasing_id()))))
+  }
+
+  /** Marked-context assembly (ref :796-809): 900-char snippets inside
+    * a total char budget, `《S{i}》 [id=..] [title=..] [OO=..]
+    * score=…` headers. Driver-side fold over ≤ topK rows. */
+  def markedContext(kept: Seq[(String, String, String, String, Double, String)],
+                    maxContextChars: Int = 1800): String = {
+    val buf = scala.collection.mutable.ArrayBuffer("<CONTEXT>")
+    var total = 0
+    kept.zipWithIndex.foreach { case ((_, id, title, oo, score, text), i) =>
+      val remain = math.max(maxContextChars - total, 0)
+      if (remain > 0) {
+        val snippet = text.take(math.min(900, remain)) +
+          (if (text.length > 900) "…" else "")
+        total += snippet.length
+        buf += f"《S${i + 1}》 [id=$id] [title=$title] [OO=$oo] score=$score%.4f%n$snippet%n"
+      }
+    }
+    buf += "</CONTEXT>"
+    buf.mkString("\n")
+  }
+
+  /** Source manifest rows (ref :673-679). */
+  def sources(kept: DataFrame): DataFrame =
+    kept.select(col("marker"),
+      element_at(col("metadata"), "id").as("id"),
+      col("title"), col("oo"), round(col("score"), 4).as("score"))
+}

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** ST2/ST3 — stateful incremental sentence segmentation over a token
+  * stream (ref streaming_tts_service.py:25-69): per session, buffer
+  * incoming chunks and emit a sentence whenever a terminal char
+  * (`.!?。！？\n`) completes one; the unterminated remainder stays in
+  * state. The partial-flush heuristic additionally surfaces a buffer
+  * ending in `, ` / `; ` / `: ` / ` - ` or ≥20 trimmed chars.
+  *
+  * Scale design: state is keyed by session_id (one small string
+  * buffer per key) via `flatMapGroupsWithState` — exactly the keyed
+  * state + watermark shape the reference's single global buffer
+  * cannot scale to. The pure core ([[feed]]) is shared by the
+  * streaming op and the batch/test path.
+  */
+object SentenceSegmenter {
+
+  final case class TokenChunk(session_id: String, seq: Long, chunk: String)
+  final case class Sentence(session_id: String, idx: Int, sentence: String,
+                            isFinal: Boolean)
+
+  private val endings = "[.!?。！？\n]".toCharArray.mkString // membership test chars
+  private def isEnding(c: Char): Boolean = ".!?。！？\n".indexOf(c) >= 0
+
+  /** Pure incremental step: (buffer + chunk) → (complete sentences,
+    * new buffer). Mirrors extract_complete_sentences exactly: scan for
+    * the earliest terminal char, emit the trimmed prefix through it,
+    * repeat; remainder (no terminal) is the new buffer. */
+  def feed(buffer: String, chunk: String): (Seq[String], String) = {
+    val text = buffer + chunk
+    val out = Seq.newBuilder[String]
+    var pos = 0
+    var i = 0
+    var found = true
+    while (found) {
+      found = false
+      var j = pos
+      while (j < text.length && !isEnding(text.charAt(j))) j += 1
+      if (j < text.length) {
+        val s = text.substring(pos, j + 1).trim
+        if (s.nonEmpty) out += s
+        pos = j + 1
+        found = true
+      }
+      i += 1
+    }
+    (out.result(), text.substring(pos))
+  }
+
+  /** ST3 partial-flush heuristic (ref :56-69). */
+  def shouldFlushPartial(partial: String): Boolean =
+    Seq(", ", "; ", ": ", " - ").exists(partial.endsWith) ||
+      partial.trim.length >= 20
+
+  /** Batch/test reference path: run the segmenter over an ordered
+    * chunk sequence, returning every emitted sentence plus the final
+    * remainder (isFinal = true) if non-empty. */
+  def segmentAll(chunks: Seq[String]): Seq[String] = {
+    val (sentences, rest) = chunks.foldLeft((Vector.empty[String], "")) {
+      case ((acc, buf), c) =>
+        val (emitted, nb) = feed(buf, c)
+        (acc ++ emitted, nb)
+    }
+    if (rest.trim.nonEmpty) sentences :+ rest.trim else sentences
+  }
+
+  /** Structured Streaming operator: per-session segmentation with
+    * keyed state. Chunks within a micro-batch are applied in `seq`
+    * order. With `timeout` set, a processing-time timeout flushes the
+    * remainder as a final partial and drops the key's state (session
+    * GC at scale); the default NoTimeout keeps state for the stream's
+    * lifetime (note: a timeout also makes the query schedule wake-up
+    * batches, so `processAllAvailable` never settles — tests use the
+    * default). */
+  def segmentStream(chunks: Dataset[TokenChunk],
+                    timeout: Option[String] = None): Dataset[Sentence] = {
+    import chunks.sparkSession.implicits._
+    val conf = if (timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+               else GroupStateTimeout.NoTimeout
+    chunks.groupByKey(_.session_id)
+      .flatMapGroupsWithState[(String, Int), Sentence](OutputMode.Append, conf) {
+        case (sid, it, state: GroupState[(String, Int)]) =>
+          if (state.hasTimedOut) {
+            val (buf, n) = state.getOption.getOrElse(("", 0))
+            state.remove()
+            if (buf.trim.nonEmpty) Iterator(Sentence(sid, n, buf.trim, isFinal = true))
+            else Iterator.empty
+          } else {
+            var (buf, n) = state.getOption.getOrElse(("", 0))
+            val out = Seq.newBuilder[Sentence]
+            it.toSeq.sortBy(_.seq).foreach { c =>
+              val (emitted, nb) = feed(buf, c.chunk)
+              emitted.foreach { s => out += Sentence(sid, n, s, isFinal = false); n += 1 }
+              buf = nb
+            }
+            state.update((buf, n))
+            timeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+}

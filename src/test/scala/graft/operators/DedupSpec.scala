@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and keeps " +
+    "running through the green field toward the distant river bank"
+  private val nearDup = base.replace("green", "wide") // one-word change
+  private val unrelated = "completely different content about database engines " +
+    "and distributed query processing with columnar storage formats"
+
+  private lazy val docs = Seq(
+    (1L, base), (2L, base), (3L, nearDup), (4L, unrelated)).toDF("id", "text")
+
+  test("exactDedup keeps lowest-id row per identical content") {
+    val out = Dedup.exactDedup(docs, "text", "id").select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L, 4L))
+  }
+
+  test("minhashNearDups finds exact and near duplicates, not unrelated pairs") {
+    val pairs = Dedup.minhashNearDups(docs, "id", "text",
+      shingleN = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))           // identical
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))         // unrelated
+  }
+
+  test("minhash signature of identical texts is identical; jaccard of shared bands high") {
+    val sigs = docs.select(Dedup.minhashSignature($"text", 3, 16))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(3))
+  }
+
+  test("simhash: identical texts agree; near-dups within small hamming distance") {
+    val out = docs.select(Dedup.simhash($"text")).collect().map(_.getLong(0))
+    assert(out(0) == out(1))
+    val hammingNear = java.lang.Long.bitCount(out(0) ^ out(2))
+    val hammingFar = java.lang.Long.bitCount(out(0) ^ out(3))
+    assert(hammingNear < hammingFar)
+    assert(hammingNear <= 12)
+  }
+
+  test("ngramJaccard: identical → 1.0, disjoint → 0.0") {
+    val r = Seq((base, base, unrelated)).toDF("a", "b", "c")
+      .select(Dedup.ngramJaccard($"a", $"b", 3), Dedup.ngramJaccard($"a", $"c", 3)).head
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 0.0)
+  }
+
+  test("embeddingNearDups: bucketed candidates verified by cosine") {
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0.99f, 0.01f, 0f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 0f))).toDF("id", "emb")
+    val pairs = Dedup.embeddingNearDups(emb, "id", "emb", dim = 4, bits = 6,
+      threshold = 0.95).select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

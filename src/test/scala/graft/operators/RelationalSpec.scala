@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val orders = Seq(
+    ("u1", 1L, "2025-01-01"), ("u1", 2L, "2025-01-03"), ("u1", 3L, "2025-01-02"),
+    ("u2", 4L, "2025-01-05"), ("u2", 5L, "2025-01-05")).toDF("user", "id", "d")
+
+  test("topNPerGroup keeps n best with deterministic tie-break") {
+    val out = Relational.topNPerGroup(orders, Seq($"user"),
+      Seq(desc("d"), desc("id")), 2)
+      .select("user", "id").as[(String, Long)].collect().toSet
+    assert(out == Set(("u1", 2L), ("u1", 3L), ("u2", 5L), ("u2", 4L)))
+  }
+
+  test("latestPerKey returns one row per key") {
+    val out = Relational.latestPerKey(orders, Seq($"user"), Seq(desc("d"), desc("id")))
+      .select("user", "id").as[(String, Long)].collect().toSet
+    assert(out == Set(("u1", 2L), ("u2", 5L)))
+  }
+
+  test("bucketize applies predicates in priority order") {
+    val out = Seq(5, 15, 40).toDF("n")
+      .select(Relational.bucketize($"n",
+        Seq("small" -> ($"n" < 10), "medium" -> ($"n" < 25)), "large"))
+      .as[String].collect()
+    assert(out.toSeq == Seq("small", "medium", "large"))
+  }
+
+  test("cumulativeBudget keeps the boundary row (truncate-last semantics)") {
+    val docs = Seq((1L, 500L), (2L, 400L), (3L, 300L), (4L, 200L)).toDF("id", "len")
+    val out = Relational.cumulativeBudget(docs, Seq(desc("len"), $"id"), $"len", 1000L)
+      .select("id").as[Long].collect().toSet
+    // spent-before: id1=0, id2=500, id3=900 (kept, crosses), id4=1200 (dropped)
+    assert(out == Set(1L, 2L, 3L))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import java.sql.Date
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TimeSeriesOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String): Date = Date.valueOf(s)
+
+  test("interpolateGapLimited matches pandas interpolate(method='time', limit=3, limit_direction='both')") {
+    // pandas golden (generated with pandas 2.x):
+    // input 16 daily values from 2025-01-01:
+    //   [None, 5, None×9, 27, None×4]
+    // expected limit=3:
+    //   [5.0, 5.0, 7.2, 9.4, 11.6, None, None, None, 20.4, 22.6, 24.8,
+    //    27.0, 27.0, 27.0, 27.0, None]
+    val days = (0 until 16).map(i => d("2025-01-01").toLocalDate.plusDays(i))
+      .map(Date.valueOf)
+    val vals: Seq[Option[Double]] =
+      Seq(None, Some(5.0)) ++ Seq.fill(9)(None) ++ Seq(Some(27.0)) ++ Seq.fill(4)(None)
+    val spine = days.zip(vals).map { case (day, v) => ("k", day, v) }
+      .toDF("key", "day", "v")
+    val out = TimeSeriesOps.interpolateGapLimited(spine, Seq("key"), "day", "v", 3)
+      .orderBy("day").select("v").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(math.round(r.getDouble(0) * 1e6) / 1e6))
+    val expected = Seq(Some(5.0), Some(5.0), Some(7.2), Some(9.4), Some(11.6),
+      None, None, None, Some(20.4), Some(22.6), Some(24.8),
+      Some(27.0), Some(27.0), Some(27.0), Some(27.0), None)
+    assert(out.toSeq == expected)
+  }
+
+  test("interpolation fills a 6-gap fully when limit=3 covers both halves (pandas parity)") {
+    // pandas golden: gap of 6 between 18.0 and 30.0, limit 3 → all filled
+    val days = (0 until 8).map(i => Date.valueOf(d("2025-02-01").toLocalDate.plusDays(i)))
+    val vals: Seq[Option[Double]] = Seq(Some(18.0)) ++ Seq.fill(6)(None) ++ Seq(Some(30.0))
+    val spine = days.zip(vals).map { case (day, v) => ("k", day, v) }.toDF("key", "day", "v")
+    val out = TimeSeriesOps.interpolateGapLimited(spine, Seq("key"), "day", "v", 3)
+      .orderBy("day").select("v").as[Option[Double]].collect()
+    assert(out.forall(_.isDefined))
+    assert(math.abs(out(1).get - (18.0 + 12.0 / 7)) < 1e-9)
+  }
+
+  test("toDailySpine densifies per-key date ranges") {
+    val daily = Seq(("a", d("2025-01-01"), 1.0), ("a", d("2025-01-04"), 4.0),
+      ("b", d("2025-03-01"), 9.0)).toDF("key", "day", "v")
+    val out = TimeSeriesOps.toDailySpine(daily, Seq("key"), "day", "v")
+    assert(out.count() == 5) // a: 4 days, b: 1 day
+    assert(out.filter($"key" === "a" && $"v".isNull).count() == 2)
+  }
+
+  test("longestNonNullRun finds the longest island per key") {
+    val rows = Seq(
+      ("a", d("2025-01-01"), Some(1.0)), ("a", d("2025-01-02"), None),
+      ("a", d("2025-01-03"), Some(1.0)), ("a", d("2025-01-04"), Some(1.0)),
+      ("a", d("2025-01-05"), Some(1.0)), ("a", d("2025-01-06"), None),
+      ("b", d("2025-01-01"), Some(2.0))).toDF("key", "day", "v")
+    val out = TimeSeriesOps.longestNonNullRun(rows, Seq("key"), "day", "v")
+      .select("key", "run_len", "run_start")
+      .as[(String, Long, Date)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out("a") == ((3L, d("2025-01-03"))))
+    assert(out("b") == ((1L, d("2025-01-01"))))
+  }
+
+  test("slidingWindows emits only complete lookback×horizon windows") {
+    val rows = (1 to 6).map(i => ("k", i, i.toDouble)).toDF("key", "t", "v")
+    val out = TimeSeriesOps.slidingWindows(rows, Seq("key"), "t", "v", 3, 2)
+      .select("t", "features", "targets")
+      .as[(Int, Seq[Double], Seq[Double])].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(3, 4)) // t=3: f=[1,2,3] tg=[4,5]; t=4: f=[2,3,4] tg=[5,6]
+    assert(out.head._2 == Seq(1.0, 2.0, 3.0) && out.head._3 == Seq(4.0, 5.0))
+  }
+
+  test("rmse / r2 / smape closed forms") {
+    val df = Seq((1.0, 1.5), (2.0, 2.5), (3.0, 2.5)).toDF("a", "p")
+    val r = df.agg(
+      TimeSeriesOps.rmse($"a", $"p"),
+      TimeSeriesOps.r2Agg($"a", $"p"),
+      TimeSeriesOps.smape($"a", $"p")).head
+    assert(math.abs(r.getDouble(0) - math.sqrt((0.25 + 0.25 + 0.25) / 3)) < 1e-12)
+    // SSres = 0.75, SStot = 14 - 3*4 = 2 → r2 = 1 - 0.375
+    assert(math.abs(r.getDouble(1) - 0.625) < 1e-12)
+    val sm = (2 * 0.5 / 2.5 + 2 * 0.5 / 4.5 + 2 * 0.5 / 5.5) / 3 * 100
+    assert(math.abs(r.getDouble(2) - sm) < 1e-9)
+  }
+
+  test("calendarFeatures seasonal encodings") {
+    val expected = math.sin(1.0 * 2 * math.Pi / 365.25)
+    val got = TimeSeriesOps.calendarFeatures(Seq(d("2025-01-01")).toDF("day"), "day")
+      .select("doy_sin").head.getDouble(0)
+    assert(math.abs(got - expected) < 1e-12)
+  }
+}
