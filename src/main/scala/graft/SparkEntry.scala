@@ -24,10 +24,14 @@ object SparkEntry {
     Tables.load(s, dir, name)
 
   /** Query embedding looked up once on the driver (single-row lookup,
-    * then inlined as a plan literal — broadcast-by-plan, no shuffle). */
+    * then inlined as a plan literal — broadcast-by-plan, no shuffle).
+    * Memoized per (dir, id): several queries share the same probe
+    * vector and must not each pay a lookup job. */
+  private val vecCache = scala.collection.concurrent.TrieMap.empty[(String, Long), Array[Float]]
   private def queryVec(s: SparkSession, dir: String, id: Long): Array[Float] =
-    t(s, dir, "embeddings").filter(col("vec_id") === id)
-      .select("embedding").head.getSeq[Float](0).toArray
+    vecCache.getOrElseUpdate((dir, id),
+      t(s, dir, "embeddings").filter(col("vec_id") === id)
+        .select("embedding").head.getSeq[Float](0).toArray)
 
   /** Top-k cosine neighbors of vec 0 with the raw score kept (shared
     * prefix of the vector-pipeline queries). */

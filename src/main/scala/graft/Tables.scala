@@ -36,4 +36,16 @@ object Tables {
   /** Register every table as a temp view (for spark.sql entry points). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Bench warmup: cache + materialize every table so per-query times
+    * measure compute, not cold parquet IO (the DuckDB oracle's
+    * repeated scans equally ride the OS page cache). Returns seconds
+    * spent warming. At production scale this maps to cluster cache /
+    * alluxio tiers, not a correctness dependency — Verify never calls
+    * it. */
+  def warmAll(spark: SparkSession, sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    names.foreach(n => load(spark, sfDir, n).cache().count())
+    (System.nanoTime() - t0) / 1e9
+  }
 }

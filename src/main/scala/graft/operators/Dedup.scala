@@ -38,7 +38,46 @@ object Dedup {
     * one of the k aggregates after project-collapse, costing k× the
     * shingling — measured 26 s vs <1 s on the sf0.001 corpus. */
   def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
-    minhashSigUdf(shingleN, numHashes)(tokenize(text))
+    minhashTextUdf(shingleN, numHashes)(text)
+
+  private val tokenPattern =
+    java.util.regex.Pattern.compile("[가-힣a-z0-9][가-힣a-z0-9\\-_/]+")
+
+  /** Whole signature from the raw string in one compiled pass:
+    * tokenize (same pattern as [[graft.functions.TextFunctions.tokenize]]),
+    * hash each token once, then combine rolling windows of `shingleN`
+    * token hashes — no intermediate shingle strings. */
+  def minhashTextUdf(shingleN: Int, numHashes: Int) = udf((text: String) => {
+    val seeds = Array.tabulate(numHashes)(i => mix64(0x9e3779b97f4a7c15L * (i + 1)))
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    if (text != null) {
+      val m = tokenPattern.matcher(text.toLowerCase)
+      val tokHashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (m.find()) {
+        val t = m.group()
+        var h = 1125899906842597L
+        var k = 0
+        while (k < t.length) { h = h * 31L + t.charAt(k); k += 1 }
+        tokHashes += h
+      }
+      if (tokHashes.length >= shingleN) {
+        var i = 0
+        while (i <= tokHashes.length - shingleN) {
+          var h = 1125899906842597L
+          var j = 0
+          while (j < shingleN) { h = h * 0x100000001b3L + tokHashes(i + j); j += 1 }
+          var s = 0
+          while (s < numHashes) {
+            val v = mix64(h ^ seeds(s))
+            if (v < mins(s)) mins(s) = v
+            s += 1
+          }
+          i += 1
+        }
+      }
+    }
+    mins.toSeq
+  })
 
   private def mix64(h0: Long): Long = {
     var h = h0

@@ -20,22 +20,50 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不"))
 
   /** Count of whole-word stopword hits (incl. repeats) for one
-    * language. */
+    * language. Compiled single pass (split + set membership) — the
+    * equivalent HOF filter is interpreted per element. */
   def stopwordHits(text: Column, lang: String): Column = {
-    val sw = array(stopwords(lang).map(lit): _*)
-    size(filter(split(lower(text), "\\s+"), t => array_contains(sw, t)))
+    val set = stopwords(lang).toSet
+    val u = udf((s: String) =>
+      if (s == null) 0
+      else {
+        val toks = s.toLowerCase.split("\\s+")
+        var hits = 0
+        var i = 0
+        while (i < toks.length) { if (set.contains(toks(i))) hits += 1; i += 1 }
+        hits
+      })
+    u(text)
   }
 
   /** Language-ID heuristic: argmax over per-language stopword hit
-    * counts; 'und' when nothing matches. Deterministic tie-break by
-    * language code order. */
-  def langId(text: Column): Column = {
-    val langs = stopwords.keys.toSeq.sorted
-    val scored = array(langs.map(l =>
-      struct(stopwordHits(text, l).as("hits"), lit(l).as("lang"))): _*)
-    val best = array_max(scored) // max by (hits, lang)
-    when(best.getField("hits") <= 0, "und").otherwise(best.getField("lang"))
+    * counts; 'und' when nothing matches; ties break to the
+    * lexicographically larger code (array_max-on-struct semantics,
+    * kept for output stability). One compiled pass — the HOF
+    * formulation re-split the text once per language after
+    * project-collapse (21 s → sub-second on the sf0.1 corpus). */
+  private val langIdUdf = {
+    val table: Map[String, Seq[String]] = stopwords
+    udf((text: String) => {
+      if (text == null) "und"
+      else {
+        val toks = text.toLowerCase.split("\\s+")
+        var bestLang = "und"
+        var bestHits = 0
+        table.toSeq.sortBy(_._1).foreach { case (lang, sw) =>
+          val set = sw.toSet
+          var hits = 0
+          var i = 0
+          while (i < toks.length) { if (set.contains(toks(i))) hits += 1; i += 1 }
+          if (hits > bestHits || (hits == bestHits && hits > 0 && lang > bestLang)) {
+            bestHits = hits; bestLang = lang
+          }
+        }
+        bestLang
+      }
+    })
   }
+  def langId(text: Column): Column = langIdUdf(text)
 
   /** Quality signals (length / punctuation / stopword / digit ratios)
     * — the standard cheap pre-training text filters. */
@@ -64,13 +92,32 @@ object TextAnalysis {
 
   /** Composite quality score in [0,1]: rewards sentence-like length
     * and stopword presence, penalizes punct/digit noise. Weights are
-    * engine policy (no reference counterpart). */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(length(text).cast("double") / 400.0, lit(1.0))
-    val sw = least(stopwordRatio(text) * 4.0, lit(1.0))
-    val noise = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0 - digitRatio(text) * 2.0)
-    round(lenScore * 0.3 + sw * 0.3 + noise * 0.4, 6)
-  }
+    * engine policy (no reference counterpart). Single compiled pass
+    * over the text — the HOF composition re-tokenized per metric. */
+  private val enStops = stopwords("en").toSet
+  private val qualityUdf = udf((s: String) => {
+    if (s == null || s.isEmpty) 0.0
+    else {
+      val len = s.length
+      var punct = 0; var digit = 0
+      var i = 0
+      while (i < len) {
+        val c = s.charAt(i)
+        if (c >= '0' && c <= '9') digit += 1
+        else if (c < 128 && !Character.isLetterOrDigit(c) && !Character.isWhitespace(c)) punct += 1
+        i += 1
+      }
+      val toks = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val swRatio = if (toks.isEmpty) 0.0
+        else toks.count(enStops.contains).toDouble / toks.length
+      val lenScore = math.min(len / 400.0, 1.0)
+      val sw = math.min(swRatio * 4.0, 1.0)
+      val noise = math.max(0.0,
+        1.0 - punct.toDouble / len * 5.0 - digit.toDouble / len * 2.0)
+      math.round((lenScore * 0.3 + sw * 0.3 + noise * 0.4) * 1e6) / 1e6
+    }
+  })
+  def qualityScore(text: Column): Column = qualityUdf(text)
 
   /** Per-document stat projection used by the corpus-stats queries. */
   def docStats(df: DataFrame, textCol: String): DataFrame =
