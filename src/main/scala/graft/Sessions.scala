@@ -1,6 +1,10 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.plans.CosineSimilarity
 
 /** Single place for the engine's session config so Verify, Bench and
   * tests agree: UTC (hash parity with the DuckDB oracle), shuffle
@@ -9,9 +13,20 @@ import org.apache.spark.sql.SparkSession
   * required to read the testdata's TIMESTAMP(NANOS) parquet columns
   * (converted back to TimestampType in [[Tables.load]]). */
 object Sessions {
+
+  /** Engine extensions: native codegen expressions registered into the
+    * function registry (callable from SQL and via `call_function`). */
+  val extensions: SparkSessionExtensions => Unit = { ext =>
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+  }
+
   def local(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(extensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -39,7 +39,7 @@ object SparkEntry {
     val q = lit(queryVec(s, dir, 0L))
     t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"),
-        VectorFunctions.cosine(col("embedding"), q).as("s"))
+        VectorFunctions.cosineFast(col("embedding"), q).as("s"))
       .orderBy(desc("s"), col("vec_id")).limit(k)
   }
 
@@ -526,6 +526,24 @@ object SparkEntry {
           round(avg(col("decoded.width")), 4).as("avg_w"),
           round(avg(col("decoded.duration_s")), 4).as("avg_dur"))
         .orderBy("media_type")
+    }),
+    "ann_ivf" -> ((s, d) => {
+      // IVF probe vs exact: recall@10 of the nprobe=4/16 path
+      // (oracle-exempt: k-means partitioning varies across runs)
+      val emb = t(s, d, "embeddings").filter(col("vec_id") =!= 0)
+      val q = queryVec(s, d, 0L)
+      val model = graft.operators.VectorIndex.train(emb, "embedding", k = 16)
+      val indexed = graft.operators.VectorIndex.assign(emb, "embedding", model)
+      import s.implicits._
+      val exact = graft.operators.VectorSearch
+        .knnExact(emb, "vec_id", "embedding", q.toSeq, 10)
+        .select("vec_id").as[Long].collect().toSeq
+      val approx = graft.operators.VectorIndex
+        .searchApprox(indexed, model, "vec_id", "embedding", q, 10, 4)
+        .select("vec_id").as[Long].collect().toSeq
+      val recall = graft.operators.VectorIndex.recallAtK(exact, approx)
+      s.createDataFrame(Seq((10, 4, 16, recall)))
+        .toDF("k", "nprobe", "clusters", "recall")
     }),
     "embed_neardups" -> ((s, d) =>
       Dedup.embeddingNearDups(

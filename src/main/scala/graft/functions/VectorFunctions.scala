@@ -29,11 +29,26 @@ object VectorFunctions {
     sqrt(aggregate(toD(a), lit(0.0), (acc, x) => acc + x * x))
 
   /** Cosine similarity; 0.0 for zero-norm inputs (no NaN leakage).
-    * Ref: embedding_handler.py:61-73. */
+    * Ref: embedding_handler.py:61-73. Built-in HOF formulation —
+    * the reference/oracle-parity baseline. */
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val n = l2Norm(a) * l2Norm(b)
     when(n === 0.0, 0.0).otherwise(d / n)
+  }
+
+  /** Same math as [[cosine]] through the native codegen expression
+    * (graft.plans.CosineSimilarity) — one fused loop inside
+    * whole-stage codegen instead of interpreted HOF lambdas; 5-100×
+    * faster on 1024-dim scans (see VectorBench). Identical results
+    * (sequential double accumulation over float inputs). Built
+    * directly from the expression so it resolves on any classic
+    * session; `graft_cosine` is also in the registry for SQL use
+    * (Sessions.extensions). */
+  def cosineFast(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
   /** Euclidean (L2) distance. */

@@ -208,7 +208,7 @@ object Dedup {
     val a = bucketed.select(col("bucket"), col("id").as("idA"), col("emb").as("embA"))
     val b = bucketed.select(col("bucket"), col("id").as("idB"), col("emb").as("embB"))
     a.join(b, Seq("bucket")).filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"), cosine(col("embA"), col("embB")).as("cos"))
+      .select(col("idA"), col("idB"), cosineFast(col("embA"), col("embB")).as("cos"))
       .filter(col("cos") >= threshold)
       .dropDuplicates("idA", "idB")
   }

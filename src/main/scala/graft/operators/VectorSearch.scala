@@ -29,7 +29,7 @@ object VectorSearch {
                query: Seq[Float], k: Int): DataFrame = {
     val q = lit(query.toArray)
     embeddings
-      .select(col(idCol), cosine(col(embCol), q).as("score"))
+      .select(col(idCol), cosineFast(col(embCol), q).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.nfkc
-import graft.functions.VectorFunctions.cosine
+import graft.functions.VectorFunctions.cosineFast
 import graft.ingest.HashEmbedder
 import graft.operators.VectorSearch
 
@@ -81,7 +81,7 @@ object SearchPipeline {
     val top = index
       .select(col("chunk_id"), col("doc_id"), col("title"), col("oo"),
         col("content"), col("metadata"),
-        cosine(col("embedding"), lit(qvec)).as("score"))
+        cosineFast(col("embedding"), lit(qvec)).as("score"))
       .orderBy(desc("score"), col("chunk_id"))
       .limit(fetchK)
     val normalized = VectorSearch.normalizeScoresIP(top)

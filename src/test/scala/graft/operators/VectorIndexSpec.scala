@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+class VectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = Tables.load(spark, dir, "embeddings").cache()
+  private lazy val query: Array[Float] =
+    emb.filter($"vec_id" === 0).select("embedding").head.getSeq[Float](0).toArray
+  private lazy val model = VectorIndex.train(emb, "embedding", k = 16)
+  private lazy val indexed = VectorIndex.assign(emb.filter($"vec_id" =!= 0), "embedding", model).cache()
+
+  private def exactTop(k: Int): Seq[Long] =
+    VectorSearch.knnExact(emb.filter($"vec_id" =!= 0), "vec_id", "embedding",
+      query.toSeq, k).select("vec_id").as[Long].collect().toSeq
+
+  test("full probe (nprobe = k clusters) reproduces exact search") {
+    val approx = VectorIndex.searchApprox(indexed, model, "vec_id", "embedding",
+      query, k = 10, nprobe = 16).select("vec_id").as[Long].collect().toSeq
+    assert(approx == exactTop(10))
+  }
+
+  test("partial probe: recall grows with nprobe, scan stays partial") {
+    def recallAt(nprobe: Int): Double = {
+      val approx = VectorIndex.searchApprox(indexed, model, "vec_id", "embedding",
+        query, k = 10, nprobe = nprobe).select("vec_id").as[Long].collect().toSeq
+      VectorIndex.recallAtK(exactTop(10), approx)
+    }
+    val r2 = recallAt(2)
+    val r8 = recallAt(8)
+    // uniform random embeddings are the worst case for IVF (no cluster
+    // structure) — assert the trade-off shape, not a high absolute
+    assert(r8 >= r2, s"recall should grow with nprobe ($r2 -> $r8)")
+    assert(r8 >= 0.5, s"recall@10 with nprobe=8/16 was $r8")
+    val probes = model.ranked(query).take(4)
+    val scanned = indexed.filter($"cluster".isin(probes: _*)).count()
+    assert(scanned < emb.count(), "probe should not scan the full corpus")
+  }
+
+  test("partitioned round-trip preserves cluster pruning") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    VectorIndex.buildAndWrite(emb.filter($"vec_id" =!= 0), "embedding", model, path)
+    val back = spark.read.parquet(path)
+    val approx = VectorIndex.searchApprox(back, model, "vec_id", "embedding",
+      query, k = 5, nprobe = 16).select("vec_id").as[Long].collect().toSeq
+    assert(approx == exactTop(5))
+    // physical pruning: the filtered plan reads only the probed partitions
+    val probes = model.ranked(query).take(2)
+    val plan = back.filter($"cluster".isin(probes: _*)).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PartitionFilters") || !plan.contains("cluster="))
+  }
+
+  test("codegen cosine matches HOF cosine exactly") {
+    val both = emb.select(
+      graft.functions.VectorFunctions.cosine($"embedding", lit(query)).as("hof"),
+      graft.functions.VectorFunctions.cosineFast($"embedding", lit(query)).as("gen"))
+      .collect()
+    assert(both.forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+}
