@@ -432,6 +432,82 @@ object SparkEntry {
     }),
   )
 
+  /** §2.1 S8 sources, §2.8 scalar-function surfaces, P9 anchors, J2
+    * context assembly, ST4/ST6 re-framing. */
+  private val sourcesAndScalars: Map[String, Q] = Map(
+    "yahoo_chart" -> ((s, _) => {
+      // S8: nested HTTP-JSON chart → arrays_zip explode → pct change
+      val r = Fixtures.yahooChart(s)
+        .select(element_at(col("chart.result"), 1).as("r"))
+        .select(col("r.timestamp").as("ts"),
+          element_at(col("r.indicators.quote"), 1).getField("close").as("close"))
+        .select(explode(arrays_zip(col("ts"), col("close"))).as("z"))
+        .select(to_date(timestamp_seconds(col("z.ts"))).as("day"),
+          col("z.close").as("close"))
+      val prev = lag("close", 1).over(Window.orderBy("day"))
+      r.withColumn("pct", round((col("close") - prev) / prev * 100, 4))
+        .orderBy("day")
+    }),
+    "s8_randomwalk" -> ((s, _) => {
+      // S8 fallback: deterministic synthetic random walk (LCG steps,
+      // exact integer math → identical in any SQL engine). Generator
+      // runs at fixture scale; the global window is the generator's
+      // sequential nature, not a table op.
+      s.range(1000).toDF("i").withColumn("step",
+          ((col("i") * 1103515245L + 12345L) % 2001L - 1000L) / 100.0)
+        .withColumn("value", round(lit(2500.0) +
+          sum("step").over(Window.orderBy("i")), 2))
+        .select(col("i"), col("value")).orderBy("i")
+    }),
+    "p9_anchor" -> ((s, d) =>
+      // NFKC is identity on the ASCII corpus, so the oracle's plain
+      // contains() matches the NFKC path exactly
+      t(s, d, "documents")
+        .filter(SearchPipeline.strongAnchorPredicate(col("text"), lit(""),
+          Set("spark", "shuffle")))
+        .groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")),
+    "j2_context" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_custkey") < 20)
+      val n = broadcast(t(s, d, "nation"))
+      val o = t(s, d, "orders")
+      val agg = o.groupBy("o_custkey").agg(
+        count(lit(1)).as("n_orders"),
+        max(to_date(col("o_orderdate"))).as("last_order"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(agg, c("c_custkey") === agg("o_custkey"))
+        .select(col("c_custkey"), concat(col("c_name"), lit(" ["), col("n_name"),
+          lit("] orders="), col("n_orders").cast("string"),
+          lit(" last="), col("last_order").cast("string")).as("context"))
+        .orderBy("c_custkey")
+    }),
+    "date_functions" -> ((s, d) =>
+      t(s, d, "events").filter(col("user_id") === 3)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("iso"),
+          date_add(to_date(col("ts")), 1).as("next_day"),
+          date_format(col("ts"), "HH:mm").as("hhmm"))
+        .orderBy("event_id").limit(50)),
+    "str_functions" -> ((s, d) =>
+      t(s, d, "documents").filter(col("doc_id") < 30)
+        .select(col("doc_id"),
+          upper(substring(col("text"), 1, 10)).as("head10"),
+          TextFunctions.truncateEllipsis(col("text"), 50).as("trunc"),
+          length(col("text")).cast("bigint").as("len"))
+        .orderBy("doc_id")),
+    "st4_rechunk" -> ((s, d) =>
+      graft.streaming.StreamFraming.rechunk(
+        t(s, d, "documents").filter(col("doc_id") < 30).select("doc_id", "text"),
+        col("text"), 100)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+        .orderBy("doc_id")),
+    "st6_accumulate" -> ((s, _) => {
+      import s.implicits._
+      graft.streaming.StreamFraming.accumulate(
+        Fixtures.tokenStream.toDF("session_id", "seq", "chunk"),
+        "session_id", "seq", "chunk").orderBy("session_id")
+    }),
+  )
+
   /** Fixture-backed queries (oracle = the same rows as VALUES lists):
     * nested-JSON grocery (S5/A6/W7), news serving filters (P6/P11/P12/
     * W2), the stateful sentence segmenter golden (ST2), cp949 CSV (S4). */
@@ -554,7 +630,8 @@ object SparkEntry {
 
   def queries: Map[String, Q] =
     aggregates ++ filters ++ joins ++ windows ++ scalarsAndSets ++ llmOps ++
-      vectorOps ++ timeSeries ++ engineOps ++ fixtureOps ++ pipelineOps
+      vectorOps ++ timeSeries ++ engineOps ++ fixtureOps ++ pipelineOps ++
+      sourcesAndScalars
 
   // ---------------------------------------------------------------- //
 
@@ -688,6 +765,30 @@ object SparkEntry {
     "news_top" -> ("SELECT * FROM (VALUES ('AI 반도체 시장 급성장','2025-07-30',CAST(0.91 AS DOUBLE))," +
       "('전기차 배터리 혁신','2025-07-31',0.88),('금리 동결 전망','2025-07-29',0.84)) " +
       "AS t(title,published_date,score) ORDER BY score DESC, title LIMIT 10"),
+    "yahoo_chart" -> ("WITH s AS (SELECT i, 1735689600 + i*86400 AS ts, 2450.0 + i*3 - (i % 3)*7 AS close FROM range(10) t(i)), " +
+      "l AS (SELECT *, lag(close) OVER (ORDER BY i) AS prev FROM s) " +
+      "SELECT CAST(to_timestamp(ts) AS DATE) AS day, close, round((close - prev)/prev*100, 4) AS pct FROM l ORDER BY day"),
+    "s8_randomwalk" -> ("WITH s AS (SELECT i, ((i*1103515245 + 12345) % 2001 - 1000)/100.0 AS step FROM range(1000) t(i)) " +
+      "SELECT i, round(2500 + sum(step) OVER (ORDER BY i), 2) AS value FROM s ORDER BY i"),
+    "p9_anchor" -> ("SELECT lang, count(*) AS n FROM documents " +
+      "WHERE contains(lower(replace(text, 'passage:', ' ')), 'spark') OR contains(lower(replace(text, 'passage:', ' ')), 'shuffle') " +
+      "GROUP BY lang ORDER BY lang"),
+    "j2_context" -> ("SELECT c_custkey, c_name || ' [' || n_name || '] orders=' || CAST(n_orders AS VARCHAR) || ' last=' || CAST(last_order AS VARCHAR) AS context " +
+      "FROM (SELECT c.c_custkey, c.c_name, n.n_name, count(*) AS n_orders, CAST(max(o.o_orderdate) AS DATE) AS last_order " +
+      "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey JOIN orders o ON o.o_custkey = c.c_custkey " +
+      "WHERE c.c_custkey < 20 GROUP BY 1, 2, 3) ORDER BY c_custkey"),
+    "date_functions" -> ("SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso, " +
+      "CAST(CAST(ts AS DATE) + INTERVAL 1 DAY AS DATE) AS next_day, strftime(ts, '%H:%M') AS hhmm " +
+      "FROM events WHERE user_id = 3 ORDER BY event_id LIMIT 50"),
+    "str_functions" -> ("SELECT doc_id, upper(substring(text, 1, 10)) AS head10, " +
+      "CASE WHEN length(text) > 50 THEN substring(text, 1, 50) || '...' ELSE text END AS trunc, " +
+      "length(text) AS len FROM documents WHERE doc_id < 30 ORDER BY doc_id"),
+    "st4_rechunk" -> ("SELECT doc_id, CAST(floor((length(text)-1)/100) + 1 AS BIGINT) AS n_chunks " +
+      "FROM documents WHERE doc_id < 30 ORDER BY doc_id"),
+    "st6_accumulate" -> ("SELECT * FROM (VALUES " +
+      "('s1','안녕하세요. 오늘은 날씨가 좋습니다! 내일은 비가 온다고 합니다. 우산을 챙기세요')," +
+      "('s2','First sentence here. Second one continues, with a comma pause that runs long enough to flush. And a tail without end')) " +
+      "AS t(session_id,text) ORDER BY session_id"),
     // Deterministic fixture-pipeline goldens (hash embedder / chunker /
     // decode stub are pure JVM functions; rows recorded once and pinned):
     "fruit_csv" -> ("SELECT * FROM (VALUES (CAST(71 AS BIGINT), CAST(3046.68 AS DOUBLE), '2025-01-01', '2025-04-30')) " +

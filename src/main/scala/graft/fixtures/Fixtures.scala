@@ -115,6 +115,26 @@ object Fixtures {
     ("s2", 1L, " continues, with a comma pause that runs long enough to flush"),
     ("s2", 2L, ". And a tail without end"))
 
+  /** Yahoo chart JSON fixture (S8 HTTP JSON source shape, ref
+    * yahoo_finance_service.py:102-121, consumed
+    * tool_executor.py:304-331): `chart.result[0].{meta, timestamp[],
+    * indicators.quote[0].close[]}`. Deterministic synthetic series. */
+  val yahooChartJson: String = {
+    val ts = (0 until 10).map(i => 1735689600L + i * 86400L)
+    val closes = (0 until 10).map(i => 2450.0 + i * 3 - (i % 3) * 7)
+    s"""{"chart":{"result":[{"meta":{"symbol":"^KS11","regularMarketPrice":${closes.last},
+       |"chartPreviousClose":${closes.head},"regularMarketDayHigh":${closes.max + 5},
+       |"regularMarketDayLow":${closes.min - 5}},
+       |"timestamp":[${ts.mkString(",")}],
+       |"indicators":{"quote":[{"close":[${closes.mkString(",")}],
+       |"open":[${closes.map(_ - 2).mkString(",")}]}]}}]}}""".stripMargin.replace("\n", "")
+  }
+
+  def yahooChart(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.read.json(Seq(yahooChartJson).toDS)
+  }
+
   /** Fruit-price CSV fixture (cp949, BOM-garbage first line, comma
     * thousands — data_utils.py:11-38): written to a temp file so the
     * S4 reader path (encoding fallback + comma strip) is exercised on
