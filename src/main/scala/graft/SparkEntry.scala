@@ -506,6 +506,40 @@ object SparkEntry {
         Fixtures.tokenStream.toDF("session_id", "seq", "chunk"),
         "session_id", "seq", "chunk").orderBy("session_id")
     }),
+    "zscore" -> ((s, d) => {
+      // StandardScaler semantics: (x - μ)/σ per event_type
+      // (ref dataset.py:40, predict.py:41 — fit/transform as one agg+join)
+      val e = t(s, d, "events").filter(col("value").isNotNull && !isnan(col("value")))
+      val stats = e.groupBy("event_type")
+        .agg(avg("value").as("mu"), stddev_samp("value").as("sigma"))
+      e.join(broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(round(max((col("value") - col("mu")) / col("sigma")), 4).as("max_z"),
+          round(min((col("value") - col("mu")) / col("sigma")), 4).as("min_z"))
+        .orderBy("event_type")
+    }),
+    "ko_format" -> ((s, _) =>
+      // §2.8-str: {:,}원 number formatting + 은/는 particle choice
+      // (ref grocery_rag_service.py:54-60, enhanced:865-874)
+      Fixtures.grocery(s).select(col("product"),
+          explode(col("stores")).as("st"))
+        .groupBy("product").agg(min(col("st.price")).as("lo"))
+        .select(col("product"),
+          concat(col("product"), TextFunctions.koParticle(col("product")),
+            lit(" 최저 "), format_number(col("lo"), 0), lit("원")).as("line"))
+        .orderBy("product")),
+    "array_setops" -> ((s, d) =>
+      // §2.7 array set ops: anchor-style token difference/intersection
+      t(s, d, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          split(lower(col("text")), "\\s+").as("toks"))
+        .select(col("doc_id"),
+          size(array_distinct(col("toks"))).cast("bigint").as("n_distinct"),
+          size(array_intersect(array_distinct(col("toks")),
+            array(lit("the"), lit("and"), lit("of")))).cast("bigint").as("n_stop"),
+          size(array_except(array_distinct(col("toks")),
+            array(lit("the"), lit("and"), lit("of")))).cast("bigint").as("n_content"))
+        .orderBy("doc_id")),
   )
 
   /** Fixture-backed queries (oracle = the same rows as VALUES lists):
@@ -785,6 +819,17 @@ object SparkEntry {
       "length(text) AS len FROM documents WHERE doc_id < 30 ORDER BY doc_id"),
     "st4_rechunk" -> ("SELECT doc_id, CAST(floor((length(text)-1)/100) + 1 AS BIGINT) AS n_chunks " +
       "FROM documents WHERE doc_id < 30 ORDER BY doc_id"),
+    "zscore" -> ("WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL AND NOT isnan(value)), " +
+      "s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma FROM e GROUP BY 1) " +
+      "SELECT e.event_type, round(max((value - mu)/sigma), 4) AS max_z, round(min((value - mu)/sigma), 4) AS min_z " +
+      "FROM e JOIN s USING (event_type) GROUP BY e.event_type ORDER BY e.event_type"),
+    "ko_format" -> ("SELECT * FROM (VALUES ('바나나','바나나는 최저 350원'),('방울토마토','방울토마토는 최저 8,500원')," +
+      "('사과','사과는 최저 5,500원'),('샤인머스캣','샤인머스캣은 최저 21,500원'),('오이','오이는 최저 2,700원')) " +
+      "AS t(product,line) ORDER BY product"),
+    "array_setops" -> ("WITH d AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS toks FROM documents WHERE doc_id < 20) " +
+      "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_distinct, " +
+      "CAST(len(list_intersect(toks, ['the','and','of'])) AS BIGINT) AS n_stop, " +
+      "CAST(len(toks) - len(list_intersect(toks, ['the','and','of'])) AS BIGINT) AS n_content FROM d ORDER BY doc_id"),
     "st6_accumulate" -> ("SELECT * FROM (VALUES " +
       "('s1','안녕하세요. 오늘은 날씨가 좋습니다! 내일은 비가 온다고 합니다. 우산을 챙기세요')," +
       "('s2','First sentence here. Second one continues, with a comma pause that runs long enough to flush. And a tail without end')) " +

