@@ -393,6 +393,29 @@ object SparkEntry {
           slice(sort_array(collect_list(round(col("value"), 2)), asc = false), 1, 3),
           lit(0.0), (acc, x) => acc + x), 2).as("top3_sum"))
         .orderBy("event_type")),
+    "ratio_split" -> ((s, d) => {
+      val daily = t(s, d, "events").filter(col("user_id") < 5)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      TimeSeriesOps.ratioSplit(daily, Seq("user_id"), "day", (7, 2, 1))
+        .groupBy("user_id", "split").agg(count(lit(1)).as("n_rows"))
+        .orderBy("user_id", "split")
+    }),
+    "seasonal_naive" -> ((s, d) => {
+      val daily = t(s, d, "events").filter(col("user_id") === 7)
+        .groupBy(to_date(col("ts")).as("day")).agg(avg("value").as("v"))
+      TimeSeriesOps.seasonalNaive(daily, Seq.empty, "day", "v", 7)
+        .agg(round(TimeSeriesOps.rmse(col("v"), col("pred")), 4).as("rmse"),
+          round(TimeSeriesOps.smape(col("v"), col("pred")), 4).as("smape"))
+    }),
+    "salted_join" -> ((s, d) => {
+      val big = t(s, d, "lineitem").select("l_orderkey", "l_extendedprice")
+      val small = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Relational.saltedJoin(big, small, "l_orderkey", saltFactor = 4)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
     "w5_windows" -> ((s, d) => {
       val daily = t(s, d, "events").filter(col("user_id") === 2)
         .groupBy(to_date(col("ts")).as("day"))
@@ -411,6 +434,16 @@ object SparkEntry {
       Tables.registerAll(s, d)
       s.createDataFrame(Tables.names.sorted.map(Tuple1(_)))
         .toDF("table_name")
+    }),
+    "sql_knn" -> ((s, d) => {
+      // SQL surface: the registered graft_cosine codegen function via
+      // spark.sql over temp views (requires Sessions.extensions)
+      Tables.registerAll(s, d)
+      s.sql("""SELECT vec_id,
+              |  round(graft_cosine(embedding,
+              |    (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS score
+              |FROM embeddings WHERE vec_id <> 0
+              |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
     }),
     "w8_roundrobin" -> ((s, d) => {
       val rr = Relational.topNPerGroup(
@@ -819,6 +852,19 @@ object SparkEntry {
       "length(text) AS len FROM documents WHERE doc_id < 30 ORDER BY doc_id"),
     "st4_rechunk" -> ("SELECT doc_id, CAST(floor((length(text)-1)/100) + 1 AS BIGINT) AS n_chunks " +
       "FROM documents WHERE doc_id < 30 ORDER BY doc_id"),
+    "ratio_split" -> ("WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events WHERE user_id < 5), " +
+      "w AS (SELECT user_id, day, row_number() OVER (PARTITION BY user_id ORDER BY day) AS pos, count(*) OVER (PARTITION BY user_id) AS n FROM d) " +
+      "SELECT user_id, CASE WHEN pos <= floor(n * 0.7) THEN 'train' WHEN pos <= floor(n * 0.9) THEN 'val' ELSE 'test' END AS split, count(*) AS n_rows " +
+      "FROM w GROUP BY 1, 2 ORDER BY user_id, split"),
+    "seasonal_naive" -> ("WITH d AS (SELECT CAST(ts AS DATE) AS day, avg(value) AS v FROM events WHERE user_id = 7 GROUP BY 1), " +
+      "l AS (SELECT day, v, lag(v, 7) OVER (ORDER BY day) AS pred FROM d) " +
+      "SELECT round(sqrt(avg(pow(v - pred, 2))), 4) AS rmse, " +
+      "round(avg(2*abs(pred - v)/greatest(abs(v)+abs(pred), 1e-8))*100, 4) AS smape FROM l WHERE pred IS NOT NULL"),
+    "salted_join" -> ("SELECT o.o_orderpriority, count(*) AS n, round(sum(l.l_extendedprice), 2) AS revenue " +
+      "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+      "WHERE o.o_orderpriority = '1-URGENT' GROUP BY 1 ORDER BY 1"),
+    "sql_knn" -> (knnTopSql.format(10) +
+      " SELECT vec_id, round(s, 4) AS score FROM top ORDER BY score DESC, vec_id"),
     "zscore" -> ("WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL AND NOT isnan(value)), " +
       "s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma FROM e GROUP BY 1) " +
       "SELECT e.event_type, round(max((value - mu)/sigma), 4) AS max_z, round(min((value - mu)/sigma), 4) AS min_z " +

@@ -40,6 +40,21 @@ object Relational {
       when(pred, lit(name)).otherwise(acc)
     }
 
+  /** Skew-safe equi-join: salt the big side's key deterministically
+    * (hash-mod, no rand — reproducible plans) and replicate the small
+    * side across the salt range. Use when one key carries a hot spot
+    * AQE's skew-join split can't absorb; the result equals the plain
+    * inner join. One extra `explode` on the small side, shuffle keys
+    * become (key, salt). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltFactor: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+    val saltedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Cumulative-budget prefix filter (A14: keep ordered rows while the
     * running sum of `cost` stays under `budget`; the row that crosses
     * the boundary is kept — mirrors the reference's truncate-last

@@ -135,4 +135,51 @@ object TimeSeriesOps {
   def smape(actual: Column, pred: Column): Column =
     avg(lit(2.0) * abs(pred - actual) /
       greatest(abs(actual) + abs(pred), lit(1e-8))) * 100.0
+
+  /** Positional ratio split per key (ref data_utils.py:100-129
+    * `split_block_lenient._split`): rows ordered by `orderCol` get a
+    * `split` label with cut1 = floor(n·a), cut2 = floor(n·(a+b)) for
+    * normalized ratios a:b:c — reproducing pandas iloc slicing
+    * exactly. One window pass per key. */
+  def ratioSplit(df: DataFrame, keys: Seq[String], orderCol: String,
+                 ratios: (Double, Double, Double)): DataFrame = {
+    val (a, b, c) = ratios
+    val tot = a + b + c
+    val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val all = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("_pos", row_number().over(byKey))
+      .withColumn("_n", count(lit(1)).over(all))
+      .withColumn("split",
+        when(col("_pos") <= floor(col("_n") * (a / tot)), "train")
+          .when(col("_pos") <= floor(col("_n") * ((a + b) / tot)), "val")
+          .otherwise("test"))
+      .drop("_pos", "_n")
+  }
+
+  /** Seasonal-naive forecast baseline (the engine's stand-in for the
+    * reference's LSTM, SURVEY §7.1 step 7): ŷ(t) = y(t − period). For
+    * in-sample evaluation rows without a t−period observation are
+    * dropped. */
+  def seasonalNaive(df: DataFrame, keys: Seq[String], dayCol: String,
+                    valCol: String, periodDays: Int): DataFrame = {
+    val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(dayCol))
+    df.withColumn("pred", lag(col(valCol), periodDays).over(byKey))
+      .filter(col("pred").isNotNull)
+  }
+
+  /** Recursive rollout (ref routers/price_forecast.py:89-112): starting
+    * from the last `period` observed values, roll `horizon` days
+    * forward with the seasonal-naive step — a driver-side fold over a
+    * window-sized seed (the model's state is tiny even when the
+    * history is huge). Returns (dayOffset 1.., predicted). */
+  def rolloutSeasonalNaive(seed: Seq[Double], period: Int,
+                           horizon: Int): Seq[(Int, Double)] = {
+    require(seed.length >= period, s"need ≥$period seed values")
+    val buf = scala.collection.mutable.ArrayBuffer(seed.takeRight(period): _*)
+    (1 to horizon).map { h =>
+      val pred = buf(buf.length - period)
+      buf += pred
+      (h, pred)
+    }
+  }
 }

@@ -31,6 +31,16 @@ class RelationalSpec extends SparkSpec {
     assert(out.toSeq == Seq("small", "medium", "large"))
   }
 
+  test("saltedJoin equals the plain inner join") {
+    val big = (1 to 100).map(i => (i % 3 + 1L, i.toDouble)).toDF("k", "v")
+    val small = Seq((1L, "a"), (2L, "b")).toDF("k", "tag")
+    val salted = Relational.saltedJoin(big, small, "k", saltFactor = 4)
+      .groupBy("tag").count().as[(String, Long)].collect().toMap
+    val plain = big.join(small, "k")
+      .groupBy("tag").count().as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
   test("cumulativeBudget keeps the boundary row (truncate-last semantics)") {
     val docs = Seq((1L, 500L), (2L, 400L), (3L, 300L), (4L, 200L)).toDF("id", "len")
     val out = Relational.cumulativeBudget(docs, Seq(desc("len"), $"id"), $"len", 1000L)

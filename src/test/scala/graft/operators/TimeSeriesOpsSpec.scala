@@ -86,6 +86,30 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - sm) < 1e-9)
   }
 
+  test("ratioSplit reproduces pandas iloc cut positions (7:2:1 over 10 rows)") {
+    val rows = (1 to 10).map(i => ("k", i)).toDF("key", "t")
+    val out = TimeSeriesOps.ratioSplit(rows, Seq("key"), "t", (7, 2, 1))
+      .select("t", "split").as[(Int, String)].collect().sortBy(_._1).map(_._2)
+    // cut1 = floor(10*0.7) = 7, cut2 = floor(10*0.9) = 9
+    assert(out.toSeq == Seq.fill(7)("train") ++ Seq.fill(2)("val") ++ Seq("test"))
+  }
+
+  test("seasonalNaive predicts the value from one period earlier") {
+    val rows = (0 until 10).map(i =>
+      ("k", Date.valueOf(d("2025-01-01").toLocalDate.plusDays(i)), i.toDouble))
+      .toDF("key", "day", "v")
+    val out = TimeSeriesOps.seasonalNaive(rows, Seq("key"), "day", "v", 7)
+      .select("v", "pred").as[(Double, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((7.0, 0.0), (8.0, 1.0), (9.0, 2.0)))
+  }
+
+  test("rolloutSeasonalNaive repeats the trailing period recursively") {
+    val out = TimeSeriesOps.rolloutSeasonalNaive(
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0), period = 7, horizon = 10)
+    assert(out.take(7).map(_._2) == Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0))
+    assert(out(7) == ((8, 1.0)) && out(9) == ((10, 3.0)))
+  }
+
   test("calendarFeatures seasonal encodings") {
     val expected = math.sin(1.0 * 2 * math.Pi / 365.25)
     val got = TimeSeriesOps.calendarFeatures(Seq(d("2025-01-01")).toDF("day"), "day")
