@@ -688,6 +688,12 @@ object SparkEntry {
       s.createDataFrame(Seq((10, 4, 16, recall)))
         .toDF("k", "nprobe", "clusters", "recall")
     }),
+    "minhash_neardups" -> ((s, d) => // exempt: xxhash band buckets
+      Dedup.minhashNearDups(
+        t(s, d, "documents").filter(col("doc_id") < 300), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 8, threshold = 0.5)
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg("jaccard"), 4).as("avg_jaccard"))),
     "embed_neardups" -> ((s, d) =>
       Dedup.embeddingNearDups(
         t(s, d, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding",

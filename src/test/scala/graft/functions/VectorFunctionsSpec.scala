@@ -28,6 +28,15 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(rows(2).getDouble(0) == 0.0)
   }
 
+  test("R2Aggregator matches the closed-form r2Agg column") {
+    val data = Seq((1.0, 1.5), (2.0, 2.5), (3.0, 2.5), (4.0, 3.8))
+    val ds = data.toDF("a", "p").as[(Double, Double)]
+    val typed = ds.select(R2Aggregator.column).head()
+    val closed = data.toDF("a", "p")
+      .agg(graft.operators.TimeSeriesOps.r2Agg($"a", $"p")).head.getDouble(0)
+    assert(math.abs(typed - closed) < 1e-12)
+  }
+
   test("l2Dist and l2ToSimilarity") {
     val r = Seq((Seq(0f, 3f), Seq(4f, 0f))).toDF("a", "b")
       .select(l2Dist($"a", $"b"), l2ToSimilarity(l2Dist($"a", $"b"))).head
