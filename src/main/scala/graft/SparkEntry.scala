@@ -688,6 +688,22 @@ object SparkEntry {
       s.createDataFrame(Seq((10, 4, 16, recall)))
         .toDF("k", "nprobe", "clusters", "recall")
     }),
+    "jaccard_adjacent" -> ((s, d) => {
+      // exact n-gram Jaccard of (doc, doc+1) pairs — equi-join, no
+      // all-pairs; DuckDB rebuilds the same shingle sets independently
+      val sh = t(s, d, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"),
+          array_distinct(TextFunctions.shingles(
+            TextFunctions.tokenize(col("text")), 3)).as("sh"))
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sha"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("shb"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          round(when(size(col("sha")) === 0 && size(col("shb")) === 0, 1.0)
+            .otherwise(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+              size(array_union(col("sha"), col("shb")))), 4).as("jaccard"))
+        .orderBy("id_a")
+    }),
     "minhash_neardups" -> ((s, d) => // exempt: xxhash band buckets
       Dedup.minhashNearDups(
         t(s, d, "documents").filter(col("doc_id") < 300), "doc_id", "text",
@@ -858,6 +874,12 @@ object SparkEntry {
       "length(text) AS len FROM documents WHERE doc_id < 30 ORDER BY doc_id"),
     "st4_rechunk" -> ("SELECT doc_id, CAST(floor((length(text)-1)/100) + 1 AS BIGINT) AS n_chunks " +
       "FROM documents WHERE doc_id < 30 ORDER BY doc_id"),
+    "jaccard_adjacent" -> ("WITH t AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks)-2, 0)), i -> array_to_string(toks[i:i+2], ' '))) AS sh " +
+      "FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9][a-z0-9\\-_/]+') AS toks FROM documents WHERE doc_id < 40)) " +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "round(CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0 " +
+      "ELSE len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END, 4) AS jaccard " +
+      "FROM t a JOIN t b ON b.doc_id = a.doc_id + 1 ORDER BY id_a"),
     "ratio_split" -> ("WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events WHERE user_id < 5), " +
       "w AS (SELECT user_id, day, row_number() OVER (PARTITION BY user_id ORDER BY day) AS pos, count(*) OVER (PARTITION BY user_id) AS n FROM d) " +
       "SELECT user_id, CASE WHEN pos <= floor(n * 0.7) THEN 'train' WHEN pos <= floor(n * 0.9) THEN 'val' ELSE 'test' END AS split, count(*) AS n_rows " +

@@ -20,7 +20,7 @@ object SentenceSegmenter {
 
   final case class TokenChunk(session_id: String, seq: Long, chunk: String)
   final case class Sentence(session_id: String, idx: Int, sentence: String,
-                            isFinal: Boolean)
+                            isFinal: Boolean, isPartial: Boolean = false)
 
   private val endings = "[.!?。！？\n]".toCharArray.mkString // membership test chars
   private def isEnding(c: Char): Boolean = ".!?。！？\n".indexOf(c) >= 0
@@ -55,6 +55,15 @@ object SentenceSegmenter {
     Seq(", ", "; ", ": ", " - ").exists(partial.endsWith) ||
       partial.trim.length >= 20
 
+  /** ST3 step: after a chunk's complete sentences, flush the buffer as
+    * a partial when the heuristic fires (the reference then CLEARS the
+    * buffer — ref :153-172). Returns (sentences, partialOpt, buffer). */
+  def feedWithPartial(buffer: String, chunk: String): (Seq[String], Option[String], String) = {
+    val (sentences, buf) = feed(buffer, chunk)
+    if (buf.nonEmpty && shouldFlushPartial(buf)) (sentences, Some(buf.trim), "")
+    else (sentences, None, buf)
+  }
+
   /** Batch/test reference path: run the segmenter over an ordered
     * chunk sequence, returning every emitted sentence plus the final
     * remainder (isFinal = true) if non-empty. */
@@ -76,7 +85,8 @@ object SentenceSegmenter {
     * batches, so `processAllAvailable` never settles — tests use the
     * default). */
   def segmentStream(chunks: Dataset[TokenChunk],
-                    timeout: Option[String] = None): Dataset[Sentence] = {
+                    timeout: Option[String] = None,
+                    emitPartials: Boolean = false): Dataset[Sentence] = {
     import chunks.sparkSession.implicits._
     val conf = if (timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
                else GroupStateTimeout.NoTimeout
@@ -92,9 +102,18 @@ object SentenceSegmenter {
             var (buf, n) = state.getOption.getOrElse(("", 0))
             val out = Seq.newBuilder[Sentence]
             it.toSeq.sortBy(_.seq).foreach { c =>
-              val (emitted, nb) = feed(buf, c.chunk)
-              emitted.foreach { s => out += Sentence(sid, n, s, isFinal = false); n += 1 }
-              buf = nb
+              if (emitPartials) {
+                val (emitted, partial, nb) = feedWithPartial(buf, c.chunk)
+                emitted.foreach { s => out += Sentence(sid, n, s, isFinal = false); n += 1 }
+                partial.foreach { p =>
+                  out += Sentence(sid, n, p, isFinal = false, isPartial = true); n += 1
+                }
+                buf = nb
+              } else {
+                val (emitted, nb) = feed(buf, c.chunk)
+                emitted.foreach { s => out += Sentence(sid, n, s, isFinal = false); n += 1 }
+                buf = nb
+              }
             }
             state.update((buf, n))
             timeout.foreach(state.setTimeoutDuration)

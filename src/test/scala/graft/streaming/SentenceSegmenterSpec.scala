@@ -34,6 +34,18 @@ class SentenceSegmenterSpec extends SparkSpec {
     }
   }
 
+  test("ST3: feedWithPartial flushes and clears the buffer on trigger") {
+    // long unterminated tail → partial emitted, buffer cleared
+    val (s1, p1, b1) = SentenceSegmenter.feedWithPartial("",
+      "Done. this tail is long enough to trigger a partial flush")
+    assert(s1 == Seq("Done."))
+    assert(p1.contains("this tail is long enough to trigger a partial flush"))
+    assert(b1 == "")
+    // short tail → no partial, buffer kept
+    val (s2, p2, b2) = SentenceSegmenter.feedWithPartial("", "Hi. tail")
+    assert(s2 == Seq("Hi.") && p2.isEmpty && b2 == " tail")
+  }
+
   test("shouldFlushPartial: comma/semicolon endings and ≥20 chars trigger") {
     assert(SentenceSegmenter.shouldFlushPartial("short, "))
     assert(SentenceSegmenter.shouldFlushPartial("clause; "))
