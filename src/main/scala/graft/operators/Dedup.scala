@@ -152,24 +152,30 @@ object Dedup {
   }
 
   /** 64-bit SimHash over word tokens: per-bit weighted majority of
-    * token hashes. Row-local UDF (bit loop has no HOF equivalent). */
-  val simhashUdf = udf((tokens: Seq[String]) => {
+    * token hashes. One compiled pass from the raw string (precompiled
+    * tokenizer, same pattern as TextFunctions.tokenize — avoids the
+    * interpreted regexp_extract_all feeding a UDF boundary). */
+  val simhashUdf = udf((text: String) => {
     val counts = new Array[Int](64)
-    tokens.foreach { t =>
-      var h = 1125899906842597L // FNV-ish polynomial seed
-      var i = 0
-      while (i < t.length) { h = h * 31L + t.charAt(i); i += 1 }
-      // finalize (xorshift mix) so low bits are well distributed
-      h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
-      var b = 0
-      while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1; b += 1 }
+    if (text != null) {
+      val m = tokenPattern.matcher(text.toLowerCase)
+      while (m.find()) {
+        val t = m.group()
+        var h = 1125899906842597L // FNV-ish polynomial seed
+        var i = 0
+        while (i < t.length) { h = h * 31L + t.charAt(i); i += 1 }
+        // finalize (xorshift mix) so low bits are well distributed
+        h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1; b += 1 }
+      }
     }
     var out = 0L
     var b = 0
     while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
   })
-  def simhash(text: Column): Column = simhashUdf(tokenize(text))
+  def simhash(text: Column): Column = simhashUdf(text)
 
   /** Exact n-gram Jaccard between two text columns (verification
     * scalar; candidate generation must come from LSH, never this). */
