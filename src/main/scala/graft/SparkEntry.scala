@@ -635,6 +635,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_chunks"), countDistinct("doc_id").as("n_docs"),
           sum(length(col("content"))).as("total_chars"))
     }),
+    "ingest_bulk" -> ((s, d) => {
+      // §3.2 at corpus scale: schema-infer the documents table itself,
+      // expand → chunk → embed 5k docs (exempt: chunker/embedder are
+      // JVM functions)
+      val docs = t(s, d, "documents")
+      val schema = Ingest.inferSchema(docs.columns.toSeq)
+      Ingest.buildIndex(docs, schema, "docs_bulk", chunkSize = 700,
+          overlap = 120, dim = 64)
+        .agg(count(lit(1)).as("n_chunks"), countDistinct("doc_id").as("n_docs"),
+          round(avg(length(col("content"))), 2).as("avg_chunk_chars"))
+    }),
+    "forecast_pipeline" -> ((s, _) => {
+      // §3.3 composite: cp949 CSV → daily resample → dense spine →
+      // gap-limited interpolation (14) → seasonal-naive(7) → metrics.
+      // Deterministic fixture → metrics pinned as a VALUES oracle.
+      val daily = TimeSeriesOps.dailyResample(
+        Fixtures.fruitPrices(s).withColumn("fruit", lit("banana")),
+        Seq(col("fruit")), col("date").cast("timestamp"), col("price"))
+      val spine = TimeSeriesOps.toDailySpine(daily, Seq("fruit"), "day", "avg_value")
+      val interp = TimeSeriesOps.interpolateGapLimited(
+        spine, Seq("fruit"), "day", "avg_value", maxGap = 14)
+        .filter(col("avg_value").isNotNull)
+      TimeSeriesOps.seasonalNaive(interp, Seq("fruit"), "day", "avg_value", 7)
+        .groupBy("fruit")
+        .agg(count(lit(1)).as("n_eval"),
+          round(TimeSeriesOps.rmse(col("avg_value"), col("pred")), 4).as("rmse"),
+          round(TimeSeriesOps.smape(col("avg_value"), col("pred")), 4).as("smape"))
+    }),
     "rag_sources" -> ((s, _) => {
       val k = Fixtures.knowledge(s)
       val schema = Ingest.inferSchema(k.columns.toSeq)
@@ -914,6 +942,10 @@ object SparkEntry {
       "AS t(n_days, avg_price, first_day, last_day)"),
     "ingest_chunks" -> ("SELECT * FROM (VALUES ('knowledge', CAST(7 AS BIGINT), CAST(7 AS BIGINT), CAST(3243 AS BIGINT))) " +
       "AS t(save_name, n_chunks, n_docs, total_chars)"),
+    "forecast_pipeline" -> ("SELECT * FROM (VALUES ('banana', CAST(113 AS BIGINT), CAST(18.2045 AS DOUBLE), CAST(0.4724 AS DOUBLE))) " +
+      "AS t(fruit, n_eval, rmse, smape)"),
+    "ingest_bulk" -> ("SELECT * FROM (VALUES (CAST(1553 AS BIGINT), CAST(500 AS BIGINT), CAST(439.59 AS DOUBLE))) " +
+      "AS t(n_chunks, n_docs, avg_chunk_chars)"),
     "rag_sources" -> ("SELECT * FROM (VALUES ('S1','2','Self-Attention','Self-Attention',CAST(0.5 AS DOUBLE))," +
       "('S2','4','Transformer','Transformer',0.4892),('S3','1','어텐션 메커니즘','어텐션 메커니즘',0.4606)) " +
       "AS t(marker,id,title,oo,score) ORDER BY marker"),
