@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.CosineSimilarity
+import graft.plans.{CosineSimilarity, RewriteHofCosine}
 
 /** Single place for the engine's session config so Verify, Bench and
   * tests agree: UTC (hash parity with the DuckDB oracle), shuffle
@@ -21,6 +21,7 @@ object Sessions {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+    ext.injectOptimizerRule(_ => RewriteHofCosine)
   }
 
   def local(cpus: String): SparkSession = {

@@ -120,8 +120,11 @@ object SparkEntry {
         .select("user_id", "run_len", "run_start").orderBy("user_id")
     }),
     "a14_budget" -> ((s, d) =>
+      // budget fold runs POST-limit (top-100 by length) — the
+      // unpartitioned window is bounded by the limit, never the table
       Relational.cumulativeBudget(
-        t(s, d, "documents").select("doc_id", "n_chars"),
+        t(s, d, "documents").select("doc_id", "n_chars")
+          .orderBy(desc("n_chars"), col("doc_id")).limit(100),
         Seq(desc("n_chars"), col("doc_id")), col("n_chars"), 5000L)
         .orderBy(desc("n_chars"), col("doc_id"))),
   )
@@ -777,7 +780,8 @@ object SparkEntry {
       "runs AS (SELECT user_id, count(*) AS run_len, min(day) AS run_start FROM isl GROUP BY user_id, grp), " +
       "best AS (SELECT user_id, run_len, run_start, row_number() OVER (PARTITION BY user_id ORDER BY run_len DESC, run_start) AS rn FROM runs) " +
       "SELECT user_id, run_len, run_start FROM best WHERE rn = 1 ORDER BY user_id"),
-    "a14_budget" -> ("SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars, coalesce(sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS spent FROM documents) " +
+    "a14_budget" -> ("SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars, coalesce(sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS spent " +
+      "FROM (SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 100)) " +
       "WHERE spent < 5000 ORDER BY n_chars DESC, doc_id"),
     "s1_scan" -> "SELECT c_custkey, coalesce(c_name,'') AS name, c_mktsegment FROM customer ORDER BY c_custkey LIMIT 500",
     "p1_projection" -> "SELECT c_name, round(c_acctbal,2) AS acctbal FROM customer ORDER BY c_name",

@@ -1,0 +1,78 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+/** Optimizer rule: recognize the higher-order-function cosine pattern
+  * (`CASE WHEN sqrt(Σa²)·sqrt(Σb²) = 0 THEN 0 ELSE Σaᵢbᵢ /
+  * (sqrt(Σa²)·sqrt(Σb²))` built from `aggregate`/`zip_with`/
+  * `transform`) and replace it with the fused codegen
+  * [[CosineSimilarity]] expression — so cosine written declaratively
+  * (e.g. through SQL or by a user composing built-ins the way
+  * `VectorFunctions.cosine` does) still runs the 5-100× faster native
+  * loop. Results are bit-identical: both evaluate per-element
+  * float→double widening with sequential double accumulation.
+  *
+  * Injected by `Sessions.extensions` via `injectOptimizerRule`.
+  */
+object RewriteHofCosine extends Rule[LogicalPlan] {
+
+  private def isZero(e: Expression): Boolean = e match {
+    case Literal(0.0, DoubleType) => true
+    case _ => false
+  }
+
+  /** Matches transform(base, x -> cast(x as double)) over array<float>
+    * and returns the base array expression. */
+  private def castToDouble(e: Expression): Option[Expression] = e match {
+    case ArrayTransform(base, LambdaFunction(Cast(_, DoubleType, _, _), _, _))
+        if base.dataType.isInstanceOf[ArrayType] &&
+          base.dataType.asInstanceOf[ArrayType].elementType == FloatType =>
+      Some(base)
+    case _ => None
+  }
+
+  /** Matches aggregate(castToDouble(x), 0.0, (acc, v) -> acc + v*v, id)
+    * — the Σx² norm accumulator. */
+  private def normSq(e: Expression): Option[Expression] = e match {
+    case ArrayAggregate(td, zero,
+        LambdaFunction(Add(acc: NamedExpression, Multiply(y1: NamedExpression, y2: NamedExpression, _), _), _, _),
+        LambdaFunction(_: NamedExpression, _, _))
+        if isZero(zero) && y1.exprId == y2.exprId =>
+      castToDouble(td)
+    case _ => None
+  }
+
+  /** Matches aggregate(zip_with(castToDouble(a), castToDouble(b),
+    * (x, y) -> x*y), 0.0, (acc, v) -> acc+v, id) — the Σaᵢbᵢ dot. */
+  private def dot(e: Expression): Option[(Expression, Expression)] = e match {
+    case ArrayAggregate(
+        ZipWith(ta, tb, LambdaFunction(Multiply(_: NamedExpression, _: NamedExpression, _), _, _)),
+        zero,
+        LambdaFunction(Add(_: NamedExpression, _: NamedExpression, _), _, _),
+        LambdaFunction(_: NamedExpression, _, _)) if isZero(zero) =>
+      for (a <- castToDouble(ta); b <- castToDouble(tb)) yield (a, b)
+    case _ => None
+  }
+
+  private def denom(e: Expression): Option[(Expression, Expression)] = e match {
+    case Multiply(Sqrt(na), Sqrt(nb), _) =>
+      for (a <- normSq(na); b <- normSq(nb)) yield (a, b)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case cw @ CaseWhen(Seq((EqualTo(d1, zeroCmp), zeroRes)), Some(Divide(dotE, d2, _)))
+          if isZero(zeroCmp) && isZero(zeroRes) =>
+        (denom(d1), denom(d2), dot(dotE)) match {
+          case (Some((a1, b1)), Some((a2, b2)), Some((a3, b3)))
+              if a1.semanticEquals(a2) && a1.semanticEquals(a3) &&
+                b1.semanticEquals(b2) && b1.semanticEquals(b3) =>
+            CosineSimilarity(a1, b1)
+          case _ => cw
+        }
+    }
+}
