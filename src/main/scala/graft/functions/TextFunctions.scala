@@ -72,6 +72,69 @@ object TextFunctions {
     })
   def koParticle(c: Column): Column = koParticleUdf(c)
 
+  /** EN→KO term substitution table (ref
+    * enhanced_internal_db_service.py:876-888): ordered
+    * case-insensitive whole-word replacements. */
+  private val enKoPatterns = Seq(
+    "(?i)\\bself[\\-\\s]?attention\\b" -> "셀프-어텐션",
+    "(?i)\\battention\\b" -> "어텐션",
+    "(?i)\\bsequence(s)?\\b" -> "시퀀스",
+    "(?i)\\btoken(s)?\\b" -> "토큰",
+    "(?i)\\bmodel(s)?\\b" -> "모델")
+
+  def replaceEnToKo(s: String): String =
+    enKoPatterns.foldLeft(s) { case (acc, (pat, ko)) => acc.replaceAll(pat, ko) }
+
+  def replaceEnToKoCol(c: Column): Column =
+    enKoPatterns.foldLeft(c) { case (acc, (pat, ko)) => regexp_replace(acc, pat, ko) }
+
+  /** 은/는 particle for a word (pure; see [[koParticle]] for the
+    * Column form). Ref: :865-874. */
+  def pickEunNeun(word: String): String =
+    if (word == null || word.isEmpty) "는"
+    else {
+      val last = word.last
+      if (last >= 0xAC00 && last <= 0xD7A3)
+        if ((last - 0xAC00) % 28 != 0) "은" else "는"
+      else "는"
+    }
+
+  /** Topic-prefix guarantee (ref :852-863): translate the topic to KO,
+    * keep the answer if it already leads with the topic, otherwise
+    * strip a dangling leading particle and prepend "topic은/는". */
+  def ensureTopicPrefix(answer: String, topic: String): String = {
+    if (topic == null || topic.isEmpty) return answer
+    val topicKo = replaceEnToKo(topic)
+    val s0 = answer.trim
+    if (s0.startsWith(topicKo) || s0.toLowerCase.startsWith(topic.toLowerCase)) s0
+    else {
+      val s = s0.replaceFirst("^[,\\s\\-–—]*[은는]\\b", "")
+        .replaceFirst("^\\s+", "")
+      s"$topicKo${pickEunNeun(topicKo)} $s"
+    }
+  }
+
+  /** Korean output cleanup (faithful port of
+    * _clean_korean_output, ref :890-909): NFC, symmetric quote strip,
+    * whitespace collapse, space-before-punct removal, bracket spacing,
+    * duplicate punctuation. */
+  def cleanKoreanOutput(text: String): String = {
+    if (text == null || text.isEmpty) return text
+    var s = java.text.Normalizer.normalize(text, java.text.Normalizer.Form.NFC)
+    val openQ = "“\"'「『"
+    val closeQ = "”\"'」』"
+    if (s.length > 2 && openQ.contains(s.head) && closeQ.contains(s.last))
+      s = s.substring(1, s.length - 1).trim
+    s = s.replaceAll("[ \\t]+", " ")
+    s = s.replaceAll("\\s+([,.;:!?%])", "$1")
+    s = s.replaceAll("\\(\\s+", "(").replaceAll("\\s+\\)", ")")
+    s = s.replaceAll("\\[\\s+", "[").replaceAll("\\s+\\]", "]")
+    s = s.replaceAll("([,.;:!?])\\s*\\1+", "$1")
+    s.trim
+  }
+
+  val cleanKoreanOutputUdf = udf(cleanKoreanOutput _)
+
   /** Korean output cleanup pipeline: collapse whitespace, strip stray
     * markup/bullets, trim. Ref: enhanced_internal_db_service.py:890-909
     * (7-regex chain, re-expressed). */

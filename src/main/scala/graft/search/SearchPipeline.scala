@@ -120,6 +120,14 @@ object SearchPipeline {
     buf.mkString("\n")
   }
 
+  /** Answer post-processing as the reference applies it to generated
+    * text (ref :835-850 → :852-909): Korean cleanup, then the
+    * topic-prefix guarantee. The generation itself is an external
+    * model behind this boundary. */
+  def postprocessAnswer(answer: String, topic: String): String =
+    graft.functions.TextFunctions.ensureTopicPrefix(
+      graft.functions.TextFunctions.cleanKoreanOutput(answer), topic)
+
   /** Source manifest rows (ref :673-679). */
   def sources(kept: DataFrame): DataFrame =
     kept.select(col("marker"),

@@ -65,6 +65,33 @@ class TextFunctionsSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("replaceEnToKo substitutes the reference term table, case-insensitive") {
+    assert(TextFunctions.replaceEnToKo("Self-Attention uses attention over tokens")
+      == "셀프-어텐션 uses 어텐션 over 토큰")
+    assert(TextFunctions.replaceEnToKo("the Models and sequences")
+      == "the 모델 and 시퀀스")
+  }
+
+  test("ensureTopicPrefix: keeps leading topic, fixes dangling particle, prepends otherwise") {
+    // already prefixed (english-topic match, case-insensitive)
+    assert(TextFunctions.ensureTopicPrefix("FAISS는 빠르다", "faiss") == "FAISS는 빠르다")
+    // dangling particle corrected: "은 ..." → "<topic>은/는 ..."
+    assert(TextFunctions.ensureTopicPrefix("는 중요한 기법이다", "어텐션")
+      == "어텐션은 중요한 기법이다")
+    // plain prepend with particle by final jamo
+    assert(TextFunctions.ensureTopicPrefix("빠른 검색을 제공한다", "임베딩")
+      == "임베딩은 빠른 검색을 제공한다")
+  }
+
+  test("cleanKoreanOutput: NFC, quote strip, spacing and duplicate punctuation") {
+    assert(TextFunctions.cleanKoreanOutput("\"어텐션은  중요하다 .\"")
+      == "어텐션은 중요하다.")
+    assert(TextFunctions.cleanKoreanOutput("결과는 ( 좋다 ) 입니다!!  ")
+      == "결과는 (좋다) 입니다!")
+    assert(TextFunctions.cleanKoreanOutput("항목 [ A ] 관련, ,내용")
+      == "항목 [A] 관련,내용")
+  }
+
   test("truncateEllipsis and stripCommasToDouble") {
     val r = Seq(("abcdef", "1,234,567")).toDF("t", "p")
       .select(truncateEllipsis($"t", 4), stripCommasToDouble($"p")).head
