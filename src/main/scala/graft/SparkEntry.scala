@@ -638,6 +638,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_chunks"), countDistinct("doc_id").as("n_docs"),
           sum(length(col("content"))).as("total_chars"))
     }),
+    "webrag_pipeline" -> ((s, _) => {
+      // §3.3 external-web path: landing table → content guards (P11,
+      // P12) → HTML strip → chunk 800/80 → embed → top-8 retrieve →
+      // 500-char doc formatting (rag_service.py:61-202). Deterministic
+      // fixture → pinned oracle.
+      val clean = Fixtures.news(s)
+        .withColumn("content", TextFunctions.stripHtml(col("content")))
+        .filter(!col("is_summary") && length(col("content")) > 30)
+      val chunks = clean.select(col("url"), col("title"),
+          posexplode(Ingest.chunkUdf(800, 80)(concat_ws(" ", col("title"), col("content"))))
+            .as(Seq("chunk_seq", "chunk")))
+        .withColumn("embedding", graft.ingest.HashEmbedder.embedCol(col("chunk"), 512))
+      val qv = graft.ingest.HashEmbedder.embed("query: AI 반도체 시장", 512)
+      chunks
+        .select(col("title"), col("chunk_seq"),
+          VectorFunctions.cosineFast(col("embedding"), lit(qv)).as("score"))
+        .orderBy(desc("score"), col("title"), col("chunk_seq"))
+        .limit(8)
+        .select(col("title"),
+          round(col("score"), 4).as("score"))
+    }),
     "ingest_bulk" -> ((s, d) => {
       // §3.2 at corpus scale: schema-infer the documents table itself,
       // expand → chunk → embed 5k docs (exempt: chunker/embedder are
@@ -950,6 +971,8 @@ object SparkEntry {
       "AS t(fruit, n_eval, rmse, smape)"),
     "ingest_bulk" -> ("SELECT * FROM (VALUES (CAST(1553 AS BIGINT), CAST(500 AS BIGINT), CAST(439.59 AS DOUBLE))) " +
       "AS t(n_chunks, n_docs, avg_chunk_chars)"),
+    "webrag_pipeline" -> ("SELECT * FROM (VALUES ('AI 반도체 시장 급성장', CAST(0.4606 AS DOUBLE))," +
+      "('전기차 배터리 혁신', 0.0),('금리 동결 전망', -0.0702)) AS t(title, score) ORDER BY score DESC, title"),
     "rag_sources" -> ("SELECT * FROM (VALUES ('S1','2','Self-Attention','Self-Attention',CAST(0.5 AS DOUBLE))," +
       "('S2','4','Transformer','Transformer',0.4892),('S3','1','어텐션 메커니즘','어텐션 메커니즘',0.4606)) " +
       "AS t(marker,id,title,oo,score) ORDER BY marker"),
