@@ -55,8 +55,41 @@ object Bench {
     val errs = outcomes.filterNot(_._3).map { case (k, _, _) => s""""$k":-1""" }
       .mkString("{", ",", "}")
     val total = "%.3f".format(wallSec)
+    // Compact vector-path numbers (BASELINE.md bench plan): brute-force
+    // codegen-cosine top-10 over 10k synthetic 1024-dim vectors + IVF
+    // probe with recall@10. Reported separately from the suite wall.
+    val vector = try {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val dim = 1024
+      val corpus = spark.range(10000)
+        .select(col("id").as("vec_id"),
+          graft.ingest.HashEmbedder.embedUdf(dim)(concat(lit("synthetic doc "),
+            col("id"), lit(" body "), (col("id") % 97).cast("string"))).as("embedding"))
+        .cache()
+      corpus.count()
+      val q = graft.ingest.HashEmbedder.embed("synthetic doc 1 body 1", dim)
+      val t0 = System.nanoTime()
+      val exact = corpus.select(col("vec_id"),
+          graft.functions.VectorFunctions.cosineFast(col("embedding"), lit(q)).as("s"))
+        .orderBy(desc("s"), col("vec_id")).limit(10)
+        .select("vec_id").as[Long].collect().toSeq
+      val tKnn = (System.nanoTime() - t0) / 1e9
+      val model = graft.operators.VectorIndex.train(corpus, "embedding", k = 32)
+      val indexed = graft.operators.VectorIndex.assign(corpus, "embedding", model).cache()
+      indexed.count()
+      val t1 = System.nanoTime()
+      val approx = graft.operators.VectorIndex.searchApprox(indexed, model,
+        "vec_id", "embedding", q, 10, 4).select("vec_id").as[Long].collect().toSeq
+      val tIvf = (System.nanoTime() - t1) / 1e9
+      val recall = graft.operators.VectorIndex.recallAtK(exact, approx)
+      corpus.unpersist(); indexed.unpersist()
+      s""","vector_n10k_dim1024":{"knn_codegen_sec":${"%.3f".format(tKnn)},"ivf_probe4of32_sec":${"%.3f".format(tIvf)},"ivf_recall_at10":${"%.2f".format(recall)}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] vector bench FAILED: ${e.getMessage}"); ""
+    }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sum_query_sec":${"%.3f".format(good.map(_._2).sum)},"parallelism":$par,"warmup_sec":${"%.3f".format(warmSec)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sum_query_sec":${"%.3f".format(good.map(_._2).sum)},"parallelism":$par,"warmup_sec":${"%.3f".format(warmSec)}$vector,"sf":"$sfDir"}"""
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), json)
     spark.stop()

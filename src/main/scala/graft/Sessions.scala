@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CosineSimilarity, RewriteHofCosine}
+import graft.plans.{CosineSimilarity, DotProduct, L2Distance, RewriteHofCosine}
 
 /** Single place for the engine's session config so Verify, Bench and
   * tests agree: UTC (hash parity with the DuckDB oracle), shuffle
@@ -21,6 +21,14 @@ object Sessions {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_l2dist"),
+      new ExpressionInfo(classOf[L2Distance].getName, "graft_l2dist"),
+      (children: Seq[Expression]) => L2Distance(children.head, children(1))))
     ext.injectOptimizerRule(_ => RewriteHofCosine)
   }
 

@@ -463,7 +463,7 @@ object SparkEntry {
       t(s, d, "embeddings").filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
           round(VectorFunctions.l2ToSimilarity(
-            VectorFunctions.l2Dist(col("embedding"), q)), 4).as("sim"))
+            VectorFunctions.l2DistFast(col("embedding"), q)), 4).as("sim"))
         .orderBy(desc("sim"), col("vec_id")).limit(10)
     }),
   )

@@ -51,6 +51,20 @@ object VectorFunctions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** Codegen dot product (see [[cosineFast]]). */
+  def dotFast(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Codegen Euclidean distance (see [[cosineFast]]). */
+  def l2DistFast(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.L2Distance(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** Euclidean (L2) distance. */
   def l2Dist(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(toD(a), toD(b), (x, y) => (x - y) * (x - y)),

@@ -28,6 +28,15 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(rows(2).getDouble(0) == 0.0)
   }
 
+  test("codegen dotFast/l2DistFast match the HOF forms exactly") {
+    val r = df.select(dot($"a", $"b"), dotFast($"a", $"b"),
+      l2Dist($"a", $"b"), l2DistFast($"a", $"b")).collect()
+    r.foreach { row =>
+      assert(row.getDouble(0) == row.getDouble(1))
+      assert(row.getDouble(2) == row.getDouble(3))
+    }
+  }
+
   test("R2Aggregator matches the closed-form r2Agg column") {
     val data = Seq((1.0, 1.5), (2.0, 2.5), (3.0, 2.5), (4.0, 3.8))
     val ds = data.toDF("a", "p").as[(Double, Double)]
