@@ -1,0 +1,23 @@
+package graft
+
+/** Driver-contract shape guards: every oracle entry pairs with a
+  * registered query, names stay unique, and no query exposes
+  * duplicate or helper (_-prefixed) column names — the compare sorts
+  * columns by name, so a stray helper column silently breaks hashing. */
+class ContractSpec extends SparkSpec {
+
+  test("every oracleSql key has a registered query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle entries without queries: $missing")
+  }
+
+  test("query schemas have unique, non-helper column names") {
+    val dir = "/root/testdata/sf0.001"
+    val skip = Set("ann_ivf") // executes driver-side work at build time
+    SparkEntry.queries.filterNot(q => skip(q._1)).foreach { case (name, fn) =>
+      val cols = fn(spark, dir).schema.fieldNames.toSeq
+      assert(cols.distinct.size == cols.size, s"$name duplicates: $cols")
+      assert(!cols.exists(_.startsWith("_")), s"$name helper col leaked: $cols")
+    }
+  }
+}
