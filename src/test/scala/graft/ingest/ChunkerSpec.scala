@@ -55,6 +55,18 @@ class ChunkerSpec extends AnyFunSuite {
     }
   }
 
+  test("regression golden: 700/120 chunking of a Korean knowledge doc is pinned") {
+    val (_, term, d, r, dt) = graft.fixtures.Fixtures.knowledgeRows(1)
+    val content = s"passage: [정의] ${term}는 무엇인가? $d\n[역할] $r\n[설명] $dt\n\n" +
+      (d + " ") * 10 // pad well past one chunk
+    val chunks = Chunker.split(content, 700, 120)
+    assert(chunks.size >= 2)
+    assert(chunks.head.startsWith("passage: [정의] Self-Attention"))
+    assert(chunks.head.length <= 700 && chunks(1).length <= 700)
+    // overlap carry: second chunk re-starts inside the padded tail
+    assert(chunks(1).contains("Self-Attention은 동일 시퀀스"))
+  }
+
   test("property: chunks bounded by size when text has spaces (100 seeded cases)") {
     val rnd = new scala.util.Random(42)
     (1 to 100).foreach { _ =>

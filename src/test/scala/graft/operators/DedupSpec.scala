@@ -45,6 +45,16 @@ class DedupSpec extends SparkSpec {
     assert(hammingNear <= 12)
   }
 
+  test("approx_count_distinct tracks exact dedup counts within rsd (100 TB stats path)") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val r = docs.agg(
+      countDistinct(Dedup.contentHash(col("text"))).as("exact"),
+      approx_count_distinct(Dedup.contentHash(col("text")), 0.05).as("approx")).head
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.15,
+      s"approx $approx vs exact $exact")
+  }
+
   test("ngramJaccard: identical → 1.0, disjoint → 0.0") {
     val r = Seq((base, base, unrelated)).toDF("a", "b", "c")
       .select(Dedup.ngramJaccard($"a", $"b", 3), Dedup.ngramJaccard($"a", $"c", 3)).head
