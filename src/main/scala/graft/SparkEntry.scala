@@ -618,6 +618,26 @@ object SparkEntry {
           .zipWithIndex.map { case (sent, i) => (sid, i.toLong, sent) }
       }.toDF("session_id", "idx", "sentence").orderBy("session_id", "idx")
     }),
+    "rss_items" -> ((s, _) => {
+      // S6: real RSS XML via from_xml → explode items → HTML-entity
+      // strip + RFC-822 pubDate parse (UTC-normalized)
+      import s.implicits._
+      val schema = "STRUCT<channel: STRUCT<title: STRING, item: ARRAY<STRUCT<" +
+        "title: STRING, link: STRING, description: STRING, " +
+        "pubDate: STRING, category: STRING>>>>"
+      Seq(Fixtures.rssXml).toDF("xml")
+        .select(from_xml(col("xml"), schema,
+          new java.util.HashMap[String, String]()).as("ch"))
+        .select(explode(col("ch.channel.item")).as("it"))
+        .select(col("it.title").as("title"),
+          col("it.category").as("category"),
+          // Spark 3+ can't PARSE day-of-week ("EEE"); drop the prefix
+          date_format(to_timestamp(
+            regexp_replace(col("it.pubDate"), "^[A-Za-z]{3}, ", ""),
+            "dd MMM yyyy HH:mm:ss Z"), "yyyy-MM-dd HH:mm").as("ts"),
+          TextFunctions.stripHtml(col("it.description")).as("description"))
+        .orderBy("ts")
+    }),
     "fruit_csv" -> ((s, _) =>
       Fixtures.fruitPrices(s).agg(
         count(lit(1)).as("n_days"),
@@ -961,6 +981,11 @@ object SparkEntry {
       "('s1','안녕하세요. 오늘은 날씨가 좋습니다! 내일은 비가 온다고 합니다. 우산을 챙기세요')," +
       "('s2','First sentence here. Second one continues, with a comma pause that runs long enough to flush. And a tail without end')) " +
       "AS t(session_id,text) ORDER BY session_id"),
+    "rss_items" -> ("SELECT * FROM (VALUES " +
+      "('코스피 상승 마감','economy','2025-07-30 00:30','코스피가 외국인 매수에 힘입어 상승 마감했다.')," +
+      "('환율 변동성 확대','economy','2025-07-31 05:00','원달러 환율이 급등락을 반복하고 있다.')," +
+      "('반도체 수출 호조','it','2025-07-31 23:15','반도체 수출이 3개월 연속 증가했다.')) " +
+      "AS t(title,category,ts,description) ORDER BY ts"),
     // Deterministic fixture-pipeline goldens (hash embedder / chunker /
     // decode stub are pure JVM functions; rows recorded once and pinned):
     "fruit_csv" -> ("SELECT * FROM (VALUES (CAST(71 AS BIGINT), CAST(3046.68 AS DOUBLE), '2025-01-01', '2025-04-30')) " +

@@ -115,6 +115,22 @@ object Fixtures {
     ("s2", 1L, " continues, with a comma pause that runs long enough to flush"),
     ("s2", 2L, ". And a tail without end"))
 
+  /** RSS feed XML fixture (S6 source shape, ref
+    * news_service_rss.py:106-212: per-category feeds, HTML-tagged
+    * descriptions, RFC-822 pubDates). */
+  val rssXml: String =
+    """<rss version="2.0"><channel><title>경제 뉴스</title>
+      |<item><title>코스피 상승 마감</title><link>https://ex.com/r1</link>
+      |<description>&lt;b&gt;코스피&lt;/b&gt;가 외국인 매수에 힘입어 상승 마감했다.</description>
+      |<pubDate>Wed, 30 Jul 2025 09:30:00 +0900</pubDate><category>economy</category></item>
+      |<item><title>환율 변동성 확대</title><link>https://ex.com/r2</link>
+      |<description>원달러 &lt;i&gt;환율&lt;/i&gt;이 급등락을 반복하고 있다.</description>
+      |<pubDate>Thu, 31 Jul 2025 14:00:00 +0900</pubDate><category>economy</category></item>
+      |<item><title>반도체 수출 호조</title><link>https://ex.com/r3</link>
+      |<description>반도체 수출이 3개월 연속 증가했다.</description>
+      |<pubDate>Fri, 01 Aug 2025 08:15:00 +0900</pubDate><category>it</category></item>
+      |</channel></rss>""".stripMargin.replace("\n", "")
+
   /** Yahoo chart JSON fixture (S8 HTTP JSON source shape, ref
     * yahoo_finance_service.py:102-121, consumed
     * tool_executor.py:304-331): `chart.result[0].{meta, timestamp[],
