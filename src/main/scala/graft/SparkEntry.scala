@@ -345,12 +345,12 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), Dedup.simhash(col("text")).as("sketch"))
         .orderBy("doc_id")),
-    "minhash_bands" -> ((s, d) => { // oracle-exempt: xxhash64 minhash
-      val sig = Dedup.minhashSignature(col("text"), 3, 16)
+    "minhash_bands" -> ((s, d) => { // oracle-exempt: JVM-hash minhash
+      val bandsUdf = Dedup.lshBandBucketsUdf(3, 16, 4)
       t(s, d, "documents")
-        .select(col("doc_id"), explode(Dedup.lshBands(sig, 4, 4)).as("b"))
-        .groupBy(col("b.band").as("band"))
-        .agg(countDistinct(col("b.bucket")).as("n_buckets"),
+        .select(col("doc_id"), explode(bandsUdf(col("text"))).as("b"))
+        .groupBy(col("b._1").as("band"))
+        .agg(countDistinct(col("b._2")).as("n_buckets"),
           count(lit(1)).as("n_docs"))
         .orderBy("band")
     }),

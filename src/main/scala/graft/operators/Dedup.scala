@@ -113,6 +113,48 @@ object Dedup {
     mins.toSeq
   })
 
+  /** Whole LSH banding from the raw text in one compiled pass
+    * (tokenize → signature → band buckets): the column-composed
+    * variant below re-evaluates the signature expression once per band
+    * after project-collapse (7.3 s → ~1 s on the sf0.1 corpus). */
+  def lshBandBucketsUdf(shingleN: Int, numHashes: Int, bands: Int) = {
+    val rowsPerBand = numHashes / bands
+    udf((text: String) => {
+      val seeds = Array.tabulate(numHashes)(i => mix64(0x9e3779b97f4a7c15L * (i + 1)))
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      if (text != null) {
+        val m = tokenPattern.matcher(text.toLowerCase)
+        val tokHashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (m.find()) {
+          val t = m.group()
+          var h = 1125899906842597L
+          var k = 0
+          while (k < t.length) { h = h * 31L + t.charAt(k); k += 1 }
+          tokHashes += h
+        }
+        var i = 0
+        while (i <= tokHashes.length - shingleN) {
+          var h = 1125899906842597L
+          var j = 0
+          while (j < shingleN) { h = h * 0x100000001b3L + tokHashes(i + j); j += 1 }
+          var s = 0
+          while (s < numHashes) {
+            val v = mix64(h ^ seeds(s))
+            if (v < mins(s)) mins(s) = v
+            s += 1
+          }
+          i += 1
+        }
+      }
+      (0 until bands).map { b =>
+        var h = 1125899906842597L
+        var r = 0
+        while (r < rowsPerBand) { h = h * 0x100000001b3L + mins(b * rowsPerBand + r); r += 1 }
+        (b, mix64(h ^ seeds(b % numHashes)))
+      }
+    })
+  }
+
   /** LSH banding: split a minhash signature into `bands` bands of
     * `rowsPerBand` and hash each band → (bandIdx, bandHash) rows.
     * Docs sharing any band bucket are near-dup candidates. */
