@@ -396,6 +396,17 @@ object SparkEntry {
           slice(sort_array(collect_list(round(col("value"), 2)), asc = false), 1, 3),
           lit(0.0), (acc, x) => acc + x), 2).as("top3_sum"))
         .orderBy("event_type")),
+    "sessionize" -> ((s, d) =>
+      // event sessionization: 30-min-gap sessions per user via the
+      // built-in session_window (beyond-reference §2.9 capability)
+      t(s, d, "events").filter(col("user_id") < 10)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("n_events").cast("bigint").as("total_events"),
+          max("n_events").as("max_session_events"))
+        .orderBy("user_id")),
     "ratio_split" -> ((s, d) => {
       val daily = t(s, d, "events").filter(col("user_id") < 5)
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
@@ -953,6 +964,13 @@ object SparkEntry {
       "round(CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0 " +
       "ELSE len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END, 4) AS jaccard " +
       "FROM t a JOIN t b ON b.doc_id = a.doc_id + 1 ORDER BY id_a"),
+    "sessionize" -> ("WITH e AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE " +
+      "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_s " +
+      "FROM events WHERE user_id < 10), " +
+      "s AS (SELECT user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM e), " +
+      "g AS (SELECT user_id, sid, count(*) AS n_events FROM s GROUP BY 1, 2) " +
+      "SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS total_events, max(n_events) AS max_session_events " +
+      "FROM g GROUP BY user_id ORDER BY user_id"),
     "ratio_split" -> ("WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events WHERE user_id < 5), " +
       "w AS (SELECT user_id, day, row_number() OVER (PARTITION BY user_id ORDER BY day) AS pos, count(*) OVER (PARTITION BY user_id) AS n FROM d) " +
       "SELECT user_id, CASE WHEN pos <= floor(n * 0.7) THEN 'train' WHEN pos <= floor(n * 0.9) THEN 'val' ELSE 'test' END AS split, count(*) AS n_rows " +
