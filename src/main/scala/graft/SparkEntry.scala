@@ -311,6 +311,13 @@ object SparkEntry {
       t(s, d, "documents").agg(
         count(lit(1)).as("n_rows"),
         countDistinct(Dedup.contentHash(col("text"))).as("n_unique"))),
+    "rollup_stats" -> ((s, d) =>
+      // multi-granularity corpus stats (grouping-sets family — the
+      // 100 TB training-data reporting shape)
+      t(s, d, "documents")
+        .rollup("lang", "source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))),
     "text_tokens" -> ((s, d) =>
       t(s, d, "documents")
         .groupBy("lang")
@@ -881,6 +888,8 @@ object SparkEntry {
     "seasonal_features" -> ("SELECT day, round(sin(dayofyear(day)*2*pi()/365.25),6) AS doy_sin, round(cos(dayofyear(day)*2*pi()/365.25),6) AS doy_cos " +
       "FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) ORDER BY day"),
     "dedup_exact" -> "SELECT count(*) AS n_rows, count(DISTINCT md5(text)) AS n_unique FROM documents",
+    "rollup_stats" -> ("SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM documents " +
+      "GROUP BY ROLLUP (lang, source) ORDER BY lang NULLS FIRST, source NULLS FIRST"),
     "text_tokens" -> "SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang",
     "text_quality" -> ("SELECT source, round(sum(length(replace(text, ' ', ''))) / CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 6) AS mean_word_len " +
       "FROM documents GROUP BY source ORDER BY source"),
