@@ -1,0 +1,28 @@
+package graft
+
+/** Every VALUES-pinned oracle (deterministic fixture-pipeline goldens)
+  * replayed through spark.sql and diffed against the live query at
+  * sf0.01 — so a fixture/embedder/chunker drift fails `sbt test`
+  * immediately instead of surfacing as a driver-side hash mismatch. */
+class PinnedOracleSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private lazy val pinned: Map[String, String] =
+    SparkEntry.oracleSql.filter(_._2.trim.startsWith("SELECT * FROM (VALUES"))
+
+  test("pinned VALUES oracles match their live queries") {
+    assert(pinned.nonEmpty)
+    val failures = pinned.flatMap { case (name, sql) =>
+      val live = SparkEntry.queries(name)(spark, dir)
+      val cols = live.columns.sorted.toSeq
+      val got = live.select(cols.head, cols.tail: _*)
+        .collect().map(_.toSeq.map(String.valueOf)).toSeq
+      val want = spark.sql(sql).select(cols.head, cols.tail: _*)
+        .collect().map(_.toSeq.map(String.valueOf)).toSeq
+      if (got == want) None
+      else Some(s"$name:\n  got  $got\n  want $want")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
