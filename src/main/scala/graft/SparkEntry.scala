@@ -311,6 +311,13 @@ object SparkEntry {
       t(s, d, "documents").agg(
         count(lit(1)).as("n_rows"),
         countDistinct(Dedup.contentHash(col("text"))).as("n_unique"))),
+    "percentiles" -> ((s, d) =>
+      // exact interpolated quantiles (corpus length stats); Spark
+      // percentile == DuckDB quantile_cont by definition
+      t(s, d, "documents").groupBy("lang")
+        .agg(round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90"))
+        .orderBy("lang")),
     "rollup_stats" -> ((s, d) =>
       // multi-granularity corpus stats (grouping-sets family — the
       // 100 TB training-data reporting shape)
@@ -888,6 +895,8 @@ object SparkEntry {
     "seasonal_features" -> ("SELECT day, round(sin(dayofyear(day)*2*pi()/365.25),6) AS doy_sin, round(cos(dayofyear(day)*2*pi()/365.25),6) AS doy_cos " +
       "FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) ORDER BY day"),
     "dedup_exact" -> "SELECT count(*) AS n_rows, count(DISTINCT md5(text)) AS n_unique FROM documents",
+    "percentiles" -> ("SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS p50, " +
+      "round(quantile_cont(n_chars, 0.9), 4) AS p90 FROM documents GROUP BY lang ORDER BY lang"),
     "rollup_stats" -> ("SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM documents " +
       "GROUP BY ROLLUP (lang, source) ORDER BY lang NULLS FIRST, source NULLS FIRST"),
     "text_tokens" -> "SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang",
