@@ -838,7 +838,7 @@ object SparkEntry {
     "a7_daily_resample" -> "SELECT CAST(ts AS DATE) AS day, round(avg(value),4) AS avg_value FROM events GROUP BY day ORDER BY day",
     "a13_metrics" -> ("WITH m AS (SELECT event_type, avg(value) AS pred FROM events GROUP BY event_type) " +
       "SELECT round(sqrt(avg(pow(e.value - m.pred, 2))),4) AS rmse, " +
-      "round(1 - sum(pow(e.value - m.pred, 2)) / (sum(pow(e.value, 2)) - count(*)*pow(avg(e.value),2)), 6) AS r2, " +
+      "round(1 - sum(pow(e.value - m.pred, 2)) / (var_pop(e.value) * count(e.value)), 6) AS r2, " +
       "round(avg(2*abs(m.pred - e.value)/greatest(abs(e.value)+abs(m.pred), 1e-8))*100, 4) AS smape " +
       "FROM events e JOIN m USING (event_type)"),
     "a9_longest_run" -> ("WITH days AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase' AND user_id < 50 GROUP BY user_id, day), " +

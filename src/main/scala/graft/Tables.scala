@@ -28,7 +28,10 @@ object Tables {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integer division: `/` is double division in Spark and nanos
+        // (~1.7e18) exceed double's 53-bit mantissa — a rounding ulp
+        // would shift the microsecond vs DuckDB's native nanos read
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None => df
     }
   }

@@ -171,16 +171,18 @@ object Dedup {
     * buckets (equi-join); the exact verify runs on candidates alone. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 16,
-                      bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+                      bands: Int = 4, threshold: Double = 0.7,
+                      maxBucketSize: Int = 10000): DataFrame = {
     val rowsPerBand = numHashes / bands
     val withSets = df.select(
       col(idCol).as("id"),
       array_distinct(shingles(tokenize(col(textCol)), shingleN)).as("sh"),
       minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
-    val bucketed = withSets
+    val bucketed = capBuckets(withSets
       .select(col("id"), col("sh"),
         explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
-      .select(col("id"), col("sh"), col("b.band"), col("b.bucket"))
+      .select(col("id"), col("sh"), col("b.band"), col("b.bucket")),
+      Seq("band", "bucket"), maxBucketSize, "minhash_neardups_buckets")
     val a = bucketed.select(col("band"), col("bucket"),
       col("id").as("idA"), col("sh").as("shA"))
     val b = bucketed.select(col("band"), col("bucket"),
@@ -229,30 +231,73 @@ object Dedup {
         size(array_union(sa, sb)))
   }
 
-  /** Random-hyperplane sign bucket for embedding LSH: `bits` sign
-    * bits of dot(v, h_i) where h_i is a deterministic pseudo-random
-    * hyperplane derived from xxhash64 of (dim, bit). Row-local. */
-  def signBucket(emb: Column, dim: Int, bits: Int): Column = {
-    val sig = (0 until bits).map { b =>
-      // h_i components in [-0.5, 0.5): hash(j, b) scaled
-      val d = aggregate(
-        zip_with(emb, sequence(lit(0), lit(dim - 1)), (x, j) =>
-          x.cast("double") *
-            ((pmod(xxhash64(j.cast("string"), lit(b)), lit(1000000L))
-              .cast("double") / 1000000.0) - 0.5)),
-        lit(0.0), (acc, x) => acc + x)
-      when(d >= 0, lit(1L << b)).otherwise(lit(0L))
+  /** Random-hyperplane sign bucket for embedding LSH: `bits` sign bits
+    * of dot(v, h_b) where h_b is a deterministic pseudo-random
+    * hyperplane (seeded 64-bit mix per (bit, component), scaled to
+    * [-0.5, 0.5)). ONE compiled UDF pass computes all `bits` dot
+    * products in a single loop over the vector — the HOF formulation
+    * (zip_with + aggregate per bit) re-evaluates `bits` interpreted
+    * passes per row after project-collapse, the measured 20-70×
+    * anti-pattern this repo documents. Row-local, no shuffle. */
+  def signBucketUdf(dim: Int, bits: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    // hyperplanes materialized once on the driver (bits × dim doubles)
+    // and shipped in the closure — tiny versus any corpus
+    val planes = Array.tabulate(bits, dim) { (b, j) =>
+      (java.lang.Math.floorMod(
+        mix64(j.toLong * 0x9e3779b97f4a7c15L + (b + 1).toLong * 0xc2b2ae3d27d4eb4fL),
+        1000000L).toDouble / 1000000.0) - 0.5
     }
-    sig.reduce((a, c) => a + c)
+    udf((emb: Seq[Float]) => {
+      val v = emb
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val h = planes(b)
+        var d = 0.0
+        var j = 0
+        val n = math.min(dim, v.length)
+        while (j < n) { d += v(j).toDouble * h(j); j += 1 }
+        if (d >= 0) bucket |= (1L << b)
+        b += 1
+      }
+      bucket
+    })
+  }
+
+  def signBucket(emb: Column, dim: Int, bits: Int): Column =
+    signBucketUdf(dim, bits)(emb)
+
+  /** Hot-bucket guard: drop rows in LSH buckets larger than `cap`.
+    * At 100 TB a boilerplate-heavy corpus puts thousands of near-
+    * identical docs in one bucket and the candidate equi-join squares
+    * it; capping bounds the worst bucket to cap²/2 candidate pairs.
+    * The dropped-row count is published as an `observe` metric
+    * (`<name>.dropped_rows`) so the loss is visible in query metrics,
+    * never silent. The window count shuffles on the same key as the
+    * candidate join that follows, so the guard adds no extra exchange
+    * at scale (AQE reuses the partitioning). */
+  private def capBuckets(bucketed: DataFrame, keyCols: Seq[String], cap: Int,
+                         metricName: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
+    val sized = bucketed.withColumn("_bn", count(lit(1)).over(w))
+    sized
+      .observe(metricName,
+        sum(when(col("_bn") > cap, lit(1L)).otherwise(lit(0L))).as("dropped_rows"))
+      .filter(col("_bn") <= cap)
+      .drop("_bn")
   }
 
   /** Embedding near-dup pairs: sign-LSH bucket equi-join, then exact
-    * cosine verify ≥ threshold. (idA < idB). */
+    * cosine verify ≥ threshold. (idA < idB). `maxBucketSize` is the
+    * hot-bucket guard — see [[capBuckets]]. */
   def embeddingNearDups(df: DataFrame, idCol: String, embCol: String,
                         dim: Int, bits: Int = 12,
-                        threshold: Double = 0.95): DataFrame = {
-    val bucketed = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+                        threshold: Double = 0.95,
+                        maxBucketSize: Int = 10000): DataFrame = {
+    val bucketed0 = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       signBucket(col(embCol), dim, bits).as("bucket"))
+    val bucketed = capBuckets(bucketed0, Seq("bucket"), maxBucketSize,
+      "embed_neardups_buckets")
     val a = bucketed.select(col("bucket"), col("id").as("idA"), col("emb").as("embA"))
     val b = bucketed.select(col("bucket"), col("id").as("idB"), col("emb").as("embB"))
     a.join(b, Seq("bucket")).filter(col("idA") < col("idB"))

@@ -125,10 +125,16 @@ object TimeSeriesOps {
     sqrt(avg(pow(pred - actual, 2.0)))
 
   /** R² as a single-pass aggregate: 1 - SSres/SStot with
-    * SStot = sum(a²) - n·mean(a)². Safe for grouped aggregation. */
+    * SStot = var_pop(a)·n. Spark's `var_pop` accumulates central
+    * moments (Welford-style merge), so SStot stays accurate when
+    * |mean| ≫ stddev — the raw Σa² − n·mean² form cancels
+    * catastrophically there (fine at sf0.1, wrong at 100× with
+    * large-valued series). NULL actuals are excluded on both factors
+    * (var_pop and count ignore nulls), matching the oracle's
+    * count(value). */
   def r2Agg(actual: Column, pred: Column): Column = {
     val ssRes = sum(pow(actual - pred, 2.0))
-    val ssTot = sum(pow(actual, 2.0)) - count(actual) * pow(avg(actual), 2.0)
+    val ssTot = var_pop(actual) * count(actual)
     lit(1.0) - ssRes / ssTot
   }
 

@@ -60,10 +60,23 @@ object VectorIndex {
       }
   }
 
-  /** Train k centroids (k-means||, fixed seed → deterministic). */
+  /** Train k centroids (k-means||, fixed seed → deterministic) on a
+    * seeded SAMPLE of the corpus, never the full data: IVF centroids
+    * only need to approximate the density, and a full-corpus fit at
+    * 100 TB is a full-data ML job before a single probe can run.
+    * `maxTrainSamples` (default 20k ≈ 80 MB of 1024-dim floats)
+    * bounds the fit; corpora at or under the bound train exactly as
+    * before. One cheap count() sizes the sampling fraction. */
   def train(df: DataFrame, embCol: String, k: Int, seed: Long = 42L,
-            maxIter: Int = 20): Model = {
-    val vecs = df.select(array_to_vector(col(embCol)).as("features"))
+            maxIter: Int = 20, maxTrainSamples: Int = 20000): Model = {
+    val vecs0 = df.select(array_to_vector(col(embCol)).as("features"))
+    val n = vecs0.count()
+    val vecs =
+      if (n <= maxTrainSamples) vecs0
+      // 1.2× oversample so the post-sample count lands at or above the
+      // target with high probability; exactness is irrelevant here
+      else vecs0.sample(withReplacement = false,
+        math.min(1.0, 1.2 * maxTrainSamples / n.toDouble), seed)
     val km = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
     val model = km.fit(vecs)
     Model(model.clusterCenters.map(_.toArray.map(_.toFloat)))

@@ -63,7 +63,14 @@ object VectorSearch {
     * rank-major ordering, group order = first appearance (best score,
     * tie → min id) — and keep top_k.
     * Ref: enhanced_internal_db_service.py:765-794; deterministic group
-    * order per SURVEY §7.4. */
+    * order per SURVEY §7.4.
+    *
+    * The emitted round-robin position is returned explicitly as
+    * `div_rank` (1..topK): downstream marker assignment must order by
+    * this column, never by physical row order — `
+    * monotonically_increasing_id` does not preserve a sort across
+    * partitions, so markers derived from it are nondeterministic on
+    * multi-partition input. */
   def diversify(results: DataFrame, groupCol: Column, idCol: Column,
                 perGroupCap: Int, topK: Int,
                 scoreCol: String = "score"): DataFrame = {
@@ -73,10 +80,12 @@ object VectorSearch {
     // group order key: best (lowest) global rank inside the group
     val globalOrd = Window.orderBy(desc(scoreCol), idCol)
     val groupOrd = Window.partitionBy(groupCol)
+    val emitOrd = Window.orderBy(col("_gr"), col("_gpos"), desc(scoreCol), idCol)
     capped.withColumn("_pos", row_number().over(globalOrd))
       .withColumn("_gpos", min(col("_pos")).over(groupOrd))
-      .orderBy(col("_gr"), col("_gpos"), desc(scoreCol), idCol)
-      .limit(topK)
+      .withColumn("div_rank", row_number().over(emitOrd))
+      .filter(col("div_rank") <= topK)
+      .orderBy("div_rank")
       .drop("_gr", "_pos", "_gpos")
   }
 

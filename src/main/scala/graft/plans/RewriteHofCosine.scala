@@ -34,25 +34,44 @@ object RewriteHofCosine extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  private def exprId(e: NamedExpression) = e.exprId
+
   /** Matches aggregate(castToDouble(x), 0.0, (acc, v) -> acc + v*v, id)
-    * — the Σx² norm accumulator. */
+    * — the Σx² norm accumulator. Every variable is bound by exprId to
+    * the lambda argument it must reference: the Add must combine the
+    * accumulator (first lambda arg) with element² (second arg squared),
+    * and the finish lambda must be the identity on its own argument —
+    * otherwise a user lambda of the same *shape* but different meaning
+    * (e.g. (acc, v) -> v + acc*acc) would be silently rewritten. */
   private def normSq(e: Expression): Option[Expression] = e match {
     case ArrayAggregate(td, zero,
-        LambdaFunction(Add(acc: NamedExpression, Multiply(y1: NamedExpression, y2: NamedExpression, _), _), _, _),
-        LambdaFunction(_: NamedExpression, _, _))
-        if isZero(zero) && y1.exprId == y2.exprId =>
+        LambdaFunction(Add(acc: NamedExpression, Multiply(y1: NamedExpression, y2: NamedExpression, _), _),
+          Seq(accArg: NamedExpression, elemArg: NamedExpression), _),
+        LambdaFunction(fin: NamedExpression, Seq(finArg: NamedExpression), _))
+        if isZero(zero) && exprId(acc) == exprId(accArg) &&
+          exprId(y1) == exprId(elemArg) && exprId(y2) == exprId(elemArg) &&
+          exprId(fin) == exprId(finArg) =>
       castToDouble(td)
     case _ => None
   }
 
   /** Matches aggregate(zip_with(castToDouble(a), castToDouble(b),
-    * (x, y) -> x*y), 0.0, (acc, v) -> acc+v, id) — the Σaᵢbᵢ dot. */
+    * (x, y) -> x*y), 0.0, (acc, v) -> acc+v, id) — the Σaᵢbᵢ dot.
+    * The zip_with Multiply must reference BOTH lambda arguments (x·y
+    * in either order, never x·x), and the merge Add must be
+    * accumulator + element. */
   private def dot(e: Expression): Option[(Expression, Expression)] = e match {
     case ArrayAggregate(
-        ZipWith(ta, tb, LambdaFunction(Multiply(_: NamedExpression, _: NamedExpression, _), _, _)),
+        ZipWith(ta, tb, LambdaFunction(Multiply(m1: NamedExpression, m2: NamedExpression, _),
+          Seq(x: NamedExpression, y: NamedExpression), _)),
         zero,
-        LambdaFunction(Add(_: NamedExpression, _: NamedExpression, _), _, _),
-        LambdaFunction(_: NamedExpression, _, _)) if isZero(zero) =>
+        LambdaFunction(Add(acc: NamedExpression, v: NamedExpression, _),
+          Seq(accArg: NamedExpression, elemArg: NamedExpression), _),
+        LambdaFunction(fin: NamedExpression, Seq(finArg: NamedExpression), _))
+        if isZero(zero) &&
+          Set(exprId(m1), exprId(m2)) == Set(exprId(x), exprId(y)) &&
+          exprId(acc) == exprId(accArg) && exprId(v) == exprId(elemArg) &&
+          exprId(fin) == exprId(finArg) =>
       for (a <- castToDouble(ta); b <- castToDouble(tb)) yield (a, b)
     case _ => None
   }

@@ -3,7 +3,6 @@ package graft.search
 import java.text.Normalizer
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.nfkc
@@ -95,9 +94,10 @@ object SearchPipeline {
     val kept = VectorSearch.diversify(
       anchored.withColumn("_g", groupKey), col("_g"), col("chunk_id"),
       perTitleCap, topK).drop("_g")
-    kept.withColumn("marker",
-      concat(lit("S"), row_number().over(
-        Window.orderBy(monotonically_increasing_id()))))
+    // markers come from the diversify rank itself — an explicit column,
+    // deterministic on any partitioning (physical row ids are not)
+    kept.withColumn("marker", concat(lit("S"), col("div_rank")))
+      .drop("div_rank")
   }
 
   /** Marked-context assembly (ref :796-809): 900-char snippets inside
