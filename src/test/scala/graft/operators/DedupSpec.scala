@@ -70,4 +70,42 @@ class DedupSpec extends SparkSpec {
       threshold = 0.95).select("idA", "idB").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("hot-bucket guard: an adversarial boilerplate bucket is capped, small buckets unaffected") {
+    // 500 identical docs (one LSH bucket per band) + one small near-dup
+    // pair — without the cap the hot bucket alone yields 124,750
+    // candidate pairs; with cap=50 the bucket is dropped entirely while
+    // the small pair still surfaces
+    val boiler = (1L to 500L).map(i => (i, base))
+    // identical pair → jaccard 1.0 and guaranteed shared band buckets
+    // (a probabilistic near-dup pair could flake on band boundaries)
+    val small = Seq((1001L, unrelated), (1002L, unrelated))
+    val df = (boiler ++ small).toDF("id", "text")
+    val capped = Dedup.minhashNearDups(df, "id", "text",
+      shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5,
+      maxBucketSize = 50)
+    val pairs = capped.select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1001L, 1002L)), "small-bucket pair must survive the cap")
+    assert(!pairs.exists(p => p._1 <= 500L && p._2 <= 500L),
+      "hot-bucket pairs must be dropped, not enumerated")
+    // same guard on the embedding path
+    val emb = ((1L to 300L).map(i => (i, Seq(1f, 0f, 0f, 0f))) ++
+      Seq((901L, Seq(0f, 0f, 1f, 0f)), (902L, Seq(0f, 0f, 1f, 0f))))
+      .toDF("id", "emb")
+    val epairs = Dedup.embeddingNearDups(emb, "id", "emb", dim = 4, bits = 6,
+      threshold = 0.95, maxBucketSize = 50)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(epairs.contains((901L, 902L)))
+    assert(!epairs.exists(p => p._1 <= 300L && p._2 <= 300L))
+  }
+
+  test("compiled signBucket: identical vectors share buckets, orthogonal vectors differ") {
+    val emb = Seq(
+      (1L, Seq(1f, 2f, -3f, 0.5f)), (2L, Seq(1f, 2f, -3f, 0.5f)),
+      (3L, Seq(-1f, -2f, 3f, -0.5f))).toDF("id", "emb")
+    val out = emb.select(Dedup.signBucket($"emb", 4, 12)).collect().map(_.getLong(0))
+    assert(out(0) == out(1))
+    // antipodal vector flips every sign bit
+    assert((out(0) ^ out(2)) == ((1L << 12) - 1))
+  }
 }

@@ -55,6 +55,23 @@ class VectorIndexSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || !plan.contains("cluster="))
   }
 
+  test("sampled train (maxTrainSamples < corpus) still yields usable recall") {
+    // force the sampling path: the sf0.001 corpus is 1000 vectors, so a
+    // 300-sample fit exercises the seeded-sample branch a 100 TB corpus
+    // would always take; full-probe recall must stay high because the
+    // rerank inside probed clusters is exact
+    val sampled = VectorIndex.train(emb, "embedding", k = 16,
+      maxTrainSamples = 300)
+    val idx = VectorIndex.assign(emb.filter($"vec_id" =!= 0), "embedding", sampled)
+    val approx = VectorIndex.searchApprox(idx, sampled, "vec_id", "embedding",
+      query, k = 10, nprobe = 16).select("vec_id").as[Long].collect().toSeq
+    assert(VectorIndex.recallAtK(exactTop(10), approx) == 1.0,
+      "full probe with sampled centroids is still exact")
+    val partial = VectorIndex.searchApprox(idx, sampled, "vec_id", "embedding",
+      query, k = 10, nprobe = 8).select("vec_id").as[Long].collect().toSeq
+    assert(VectorIndex.recallAtK(exactTop(10), partial) >= 0.5)
+  }
+
   test("codegen cosine matches HOF cosine exactly") {
     val both = emb.select(
       graft.functions.VectorFunctions.cosine($"embedding", lit(query)).as("hof"),

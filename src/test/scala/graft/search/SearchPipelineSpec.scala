@@ -77,6 +77,21 @@ class SearchPipelineSpec extends SparkSpec {
     assert(bBlock.count(_ == 'b') == 599) // 1500 - 901 (S1 incl. ellipsis) = 599
   }
 
+  test("markers are deterministic on multi-partition input (repartition(8))") {
+    // markers must come from the diversify rank, not physical row ids —
+    // monotonically_increasing_id would reorder once the index has >1
+    // partition (the round-2 review's named hazard)
+    def run(idx: org.apache.spark.sql.DataFrame) =
+      SearchPipeline.search(idx, "Self-Attention이 뭐야?",
+        topK = 5, margin = 0.5, simFloor = 0.0, dim = 512)
+        .select("marker", "chunk_id").as[(String, Long)].collect().toSeq
+    val single = run(index)
+    val multi = run(index.repartition(8))
+    assert(single.nonEmpty)
+    assert(single.sortBy(_._1) == multi.sortBy(_._1),
+      s"marker assignment changed under repartition: $single vs $multi")
+  }
+
   test("sources manifest carries marker/id/title/OO/rounded score") {
     // note: "Transformer란?" would glue into one token ("transformer란")
     // and anchor-miss every doc — reference behavior; use a standalone token
