@@ -115,6 +115,24 @@ object Fixtures {
     ("s2", 1L, " continues, with a comma pause that runs long enough to flush"),
     ("s2", 2L, ". And a tail without end"))
 
+  /** Tool-call payload fixture (ref routes.py:2260-2274,
+    * tool_calling_wrapper.py:110-143: the model returns JSON
+    * `{"name": ..., "arguments": {...}}` strings that the server
+    * parses structurally before dispatch). Deterministic rows for the
+    * from_json extraction query. */
+  val toolCallRows: Seq[(Long, String)] = Seq(
+    (1L, """{"name":"insert_row","arguments":{"table":"notes","limit":null}}"""),
+    (2L, """{"name":"update_row","arguments":{"table":"notes","limit":null}}"""),
+    (3L, """{"name":"query_table","arguments":{"table":"orders","limit":10}}"""),
+    (4L, """{"name":"query_table","arguments":{"table":"notes","limit":5}}"""),
+    (5L, """{"name":"delete_row","arguments":{"table":"archive","limit":null}}"""),
+    (6L, """not json at all"""))
+
+  def toolCalls(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    toolCallRows.toDF("call_id", "payload")
+  }
+
   /** RSS feed XML fixture (S6 source shape, ref
     * news_service_rss.py:106-212: per-category feeds, HTML-tagged
     * descriptions, RFC-822 pubDates). */

@@ -18,9 +18,16 @@ import org.apache.spark.sql.functions.udf
   * model backend would replace [[embed]] behind the same UDF boundary
   * (mapPartitions-batched for GPU efficiency).
   */
-object HashEmbedder {
+object HashEmbedder extends Embedder {
 
   val DefaultDim = 1024
+
+  /** [[Embedder]] boundary: the hash projection at the default dim.
+    * (Other dims stay available via the explicit [[embed]]/[[embedCol]]
+    * overloads — the trait models the fixed-dim model interface.) */
+  override def dim: Int = DefaultDim
+  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
+    texts.map(embed(_, DefaultDim))
 
   private val tokenRe = "[가-힣a-z0-9][가-힣a-z0-9\\-_/]*".r
 

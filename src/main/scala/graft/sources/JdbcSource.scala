@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** S2 — the JDBC table-scan front door (ref
+  * enhanced_internal_db_service.py:475-510, db_llm_service.py:25-35:
+  * the reference ingests straight from a live relational DB). Spark's
+  * JDBC source gives partitioned parallel reads and predicate pushdown
+  * for free; the engine only needs to standardize the options.
+  *
+  * Tests and the registered query use embedded Derby (on the Spark
+  * classpath) as the stand-in database; any JDBC URL works the same.
+  *
+  * Scale notes:
+  *  - predicates on numeric/date columns reach the remote DB as
+  *    `PushedFilters` in the JDBC scan (asserted in PlanSpec) — the
+  *    database does the filtering, not the cluster;
+  *  - a production read of a large table should also set
+  *    `partitionColumn/lowerBound/upperBound/numPartitions` so the scan
+  *    issues N range-bounded queries in parallel instead of one cursor
+  *    ([[readPartitioned]]).
+  */
+object JdbcSource {
+
+  /** Embedded-Derby URL rooted at `dir` (created on first use). Derby
+    * writes its error log under `derby.system.home` — point it at the
+    * same scratch dir so repo paths stay clean. */
+  def derbyUrl(dir: String): String = {
+    System.setProperty("derby.system.home", dir)
+    s"jdbc:derby:$dir/db;create=true"
+  }
+
+  def writeTable(df: DataFrame, url: String, table: String): Unit =
+    df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .mode(SaveMode.Overwrite).save()
+
+  def readTable(spark: SparkSession, url: String, table: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).load()
+
+  /** Range-partitioned parallel read — the 100 TB shape: `num` executors
+    * each issue one bounded query on `partCol`. */
+  def readPartitioned(spark: SparkSession, url: String, table: String,
+                      partCol: String, lower: Long, upper: Long,
+                      num: Int): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("partitionColumn", partCol)
+      .option("lowerBound", lower).option("upperBound", upper)
+      .option("numPartitions", num).load()
+}

@@ -8,8 +8,10 @@ class PinnedOracleSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
 
+  // any oracle whose rows come from a VALUES list (with or without a
+  // projection over it) — all must be plain ANSI SQL both engines parse
   private lazy val pinned: Map[String, String] =
-    SparkEntry.oracleSql.filter(_._2.trim.startsWith("SELECT * FROM (VALUES"))
+    SparkEntry.oracleSql.filter(_._2.contains("FROM (VALUES"))
 
   test("pinned VALUES oracles match their live queries") {
     assert(pinned.nonEmpty)

@@ -45,6 +45,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("JDBC scan pushes the numeric predicate to the database (s2)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_derby_plan_").toString
+    val url = graft.sources.JdbcSource.derbyUrl(tmp)
+    graft.sources.JdbcSource.writeTable(
+      Tables.load(spark, dir, "nation"), url, "nation")
+    val p = graft.sources.JdbcSource.readTable(spark, url, "nation")
+      .filter(col("n_regionkey") < 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters"), p.take(2000))
+    assert(p.contains("LessThan(n_regionkey,3)") ||
+      p.contains("n_regionkey < 3"), p.take(2000))
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.keys.filterNot(buildTimeExec).foreach { name =>
       val p = plan(name)

@@ -56,4 +56,28 @@ class StreamFramingSpec extends SparkSpec {
       assert(rows("2025-01-01 10:05:00") == 1L)
     } finally q.stop()
   }
+
+  test("watermark drops too-late events (§2.9 late-data drop, st_watermark's streaming path)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val windowed = input.toDS().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = windowed.writeStream.format("memory").queryName("wm_drop")
+      .outputMode("update").start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2025-01-01 10:$m%02d:00")
+      input.addData((t(1), "a"), (t(2), "a")) // window 10:00 → n=2
+      q.processAllAvailable()
+      input.addData((t(30), "a")) // advances watermark to 10:20
+      q.processAllAvailable()
+      input.addData((t(3), "a")) // late: its window closed at 10:05 ≤ 10:20
+      q.processAllAvailable()
+      val n = spark.table("wm_drop")
+        .filter($"window.start".cast("string") === "2025-01-01 10:00:00")
+        .agg(max($"n")).as[Long].head()
+      assert(n == 2L, "late event must not reopen/increment a closed window")
+    } finally q.stop()
+  }
 }
