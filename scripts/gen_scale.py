@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Deterministically replicates the sf0.1 testdata N x (fact tables get
+consistent key shifts so join fan-outs are preserved; dims stay fixed —
+facts grow, dimensions don't) to measure how the spark-vs-DuckDB suite
+ratio moves with scale. Evidence for the scale argument: the engine's
+per-query fixed cost is flat, so the ratio must shrink as data grows.
+
+Usage: gen_scale.py <src_sfdir> <dst_dir> <factor>
+(driver-side python env: duckdb. The Scala library never depends on this.)
+"""
+import sys, os
+import duckdb
+
+src, dst, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+os.makedirs(dst, exist_ok=True)
+con = duckdb.connect()
+
+def mx(table, col):
+    return con.execute(
+        f"SELECT max({col}) + 1 FROM read_parquet('{src}/{table}.parquet')"
+    ).fetchone()[0]
+
+C, O, P, D, V, E = (mx("customer", "c_custkey"), mx("orders", "o_orderkey"),
+                    mx("part", "p_partkey"), mx("documents", "doc_id"),
+                    mx("embeddings", "vec_id"), mx("events", "event_id"))
+
+# table -> REPLACE clause (key shifts); None = copy once, unreplicated dim
+plans = {
+    "region": None, "nation": None, "supplier": None,
+    "customer": f"(s.c_custkey + t.i*{C}) AS c_custkey",
+    "orders": f"(s.o_orderkey + t.i*{O}) AS o_orderkey, (s.o_custkey + t.i*{C}) AS o_custkey",
+    "lineitem": f"(s.l_orderkey + t.i*{O}) AS l_orderkey",
+    "part": f"(s.p_partkey + t.i*{P}) AS p_partkey",
+    "documents": f"(s.doc_id + t.i*{D}) AS doc_id",
+    "embeddings": f"(s.vec_id + t.i*{V}) AS vec_id",
+    "events": f"(s.event_id + t.i*{E}) AS event_id",
+}
+
+for table, repl in plans.items():
+    out = f"{dst}/{table}.parquet"
+    if repl is None:
+        q = f"SELECT * FROM read_parquet('{src}/{table}.parquet')"
+    else:
+        q = (f"SELECT s.* REPLACE ({repl}) "
+             f"FROM read_parquet('{src}/{table}.parquet') s "
+             f"CROSS JOIN range({n}) t(i)")
+    con.execute(f"COPY ({q}) TO '{out}' (FORMAT PARQUET)")
+    rows = con.execute(f"SELECT count(*) FROM read_parquet('{out}')").fetchone()[0]
+    print(f"{table}: {rows} rows", file=sys.stderr)
+print(f"wrote {dst} at {n}x {src}", file=sys.stderr)

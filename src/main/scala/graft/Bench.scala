@@ -1,39 +1,45 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR
   * and emits ONE bare JSON line (plus a file copy at
   * SPARK_GRAFT_BENCH_OUT, default BENCH_LOCAL.json, so the driver's
-  * parse never depends on sbt log-prefix stripping). Failed queries
-  * are recorded as `"name": -1` in an `errors` map entry — never
-  * silently timed as successes. */
+  * parse never depends on sbt log-prefix stripping).
+  *
+  * Methodology (round-3, per the round-2 audit):
+  *  - an UNTIMED generic warmup first (range agg, a tiny scan, a tiny
+  *    window) so JVM/codegen/scheduler warmup isn't billed to whichever
+  *    query runs first — the DuckDB baseline equally excludes
+  *    interpreter+import startup;
+  *  - `value` = wall-clock of the CONCURRENT suite run (PAR=8 by
+  *    default; longest-first scheduling) — the honest answer to "how
+  *    long does the whole suite take on this box";
+  *  - then a SEQUENTIAL (PAR=1) pass supplies the per-query seconds —
+  *    uncontended, so they are comparable to the DuckDB oracle's
+  *    sequential per-query times (JVM warm by then; labeled
+  *    `wall_seq_warm_sec`);
+  *  - the DuckDB oracle suite itself is timed in-process (driver-side
+  *    python + duckdb, `scripts/bench_oracle.py`) and the ratio is
+  *    emitted in the artifact — self-adjudicating, no prose numbers;
+  *  - failed queries are recorded as `"name": -1` in `errors`, never
+  *    silently timed as successes.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    val warmSec =
-      if (sys.env.getOrElse("SPARK_GRAFT_WARM", "0") == "1")
-        Tables.warmAll(spark, sfDir)
-      else 0.0
-    // Queries are independent reads — run them concurrently (bounded
-    // pool) so the 32-core scheduler overlaps their many tiny stages;
-    // `value` is the honest wall-clock for the whole suite, per-query
-    // seconds include contention. SPARK_GRAFT_PAR=1 restores
-    // sequential timing.
-    val par = sys.env.getOrElse("SPARK_GRAFT_PAR", "8").toInt
-    val wall0 = System.nanoTime()
-    // longest-processing-time-first: start the known-heavy queries so
-    // they overlap the long tail of cheap ones (wall = max, not sum)
-    val heavy = Seq("minhash_bands", "rag_sources", "simhash_sketch",
-      "a12_l2branch", "a13_metrics", "a8_interpolate", "a9_longest_run",
-      "multimodal_decode", "lang_stopwords", "quality_scores").zipWithIndex.toMap
+
+  private def timeSuite(spark: SparkSession, sfDir: String, par: Int,
+                        order: Seq[String]): (Double, Seq[(String, Double, Boolean)]) = {
     val tasks = SparkEntry.queries.toSeq
-      .sortBy { case (n, _) => (heavy.getOrElse(n, Int.MaxValue), n) }
+      .sortBy { case (n, _) => (order.indexOf(n) match {
+        case -1 => Int.MaxValue
+        case i => i
+      }, n) }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val wall0 = System.nanoTime()
     val futures = tasks.map { case (name, fn) =>
       scala.concurrent.Future {
         val t0 = System.nanoTime()
@@ -48,13 +54,60 @@ object Bench {
     val outcomes = futures.map(f =>
       scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
     pool.shutdown()
-    val wallSec = (System.nanoTime() - wall0) / 1e9
-    val good = outcomes.filter(_._3)
+    ((System.nanoTime() - wall0) / 1e9, outcomes)
+  }
+
+  /** Generic untimed warmup — none of these are suite queries. */
+  private def warmup(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    spark.range(100000).agg(sum("id")).collect()
+    Tables.load(spark, sfDir, "region").agg(count(lit(1))).collect()
+    Tables.load(spark, sfDir, "nation")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("n_regionkey").orderBy("n_nationkey")))
+      .agg(max("rn")).collect()
+  }
+
+  /** DuckDB oracle suite timing via the driver-side python env; None
+    * when python/duckdb is unavailable (the artifact then carries
+    * nulls, not fabricated numbers). */
+  private def duckdbBaseline(sfDir: String): Option[String] =
+    try {
+      val oraclePath = Files.createTempFile("graft_oracle_", ".json")
+      Files.writeString(oraclePath, Verify.oracleSqlJson)
+      val pb = new ProcessBuilder("python3", "scripts/bench_oracle.py",
+        sfDir, oraclePath.toString)
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes()).trim
+      val code = proc.waitFor()
+      if (code == 0 && out.startsWith("{")) Some(out) else None
+    } catch { case _: Throwable => None }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val par = sys.env.getOrElse("SPARK_GRAFT_PAR", "8").toInt
+    // longest-first for the concurrent pass (wall = max, not sum) —
+    // refreshed from the round-3 sequential measurements
+    val heavy = Seq("minhash_bands", "rag_sources", "ann_ivf",
+      "forecast_pipeline", "s2_jdbc", "a8_interpolate", "minhash_neardups",
+      "index_append_dedup", "a9_longest_run", "a13_metrics", "ingest_bulk",
+      "multimodal_decode", "simhash_sketch", "embed_neardups")
+
+    warmup(spark, sfDir)
+    val (wallPar, outPar) = timeSuite(spark, sfDir, par, heavy)
+    val parErrors = outPar.filterNot(_._3).map(_._1)
+    // sequential pass for uncontended per-query seconds
+    val (wallSeq, outSeq) =
+      if (par > 1) timeSuite(spark, sfDir, 1, heavy) else (wallPar, outPar)
+    val good = outSeq.filter(_._3)
     val qs = good.map { case (k, v, _) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", "}")
-    val errs = outcomes.filterNot(_._3).map { case (k, _, _) => s""""$k":-1""" }
-      .mkString("{", ",", "}")
-    val total = "%.3f".format(wallSec)
+    val errs = (parErrors ++ outSeq.filterNot(_._3).map(_._1)).distinct
+      .map(k => s""""$k":-1""").mkString("{", ",", "}")
+
     // Compact vector-path numbers (BASELINE.md bench plan): brute-force
     // codegen-cosine top-10 over 10k synthetic 1024-dim vectors + IVF
     // probe with recall@10. Reported separately from the suite wall.
@@ -88,8 +141,39 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] vector bench FAILED: ${e.getMessage}"); ""
     }
+
+    // self-adjudication: DuckDB oracle wall + ratio inside the artifact
+    val duck = duckdbBaseline(sfDir) match {
+      case Some(json) =>
+        // ratio vs the WARM DuckDB wall — the comparison least
+        // favorable to this engine
+        val wall = "\"duckdb_wall_warm_sec\"\\s*:\\s*([0-9.]+)".r
+          .findFirstMatchIn(json).map(_.group(1).toDouble)
+        val ratioPar = wall.map(w => "%.2f".format(wallPar / w)).getOrElse("null")
+        val ratioSeq = wall.map(w => "%.2f".format(wallSeq / w)).getOrElse("null")
+        // comparable subset: queries whose oracle is REAL SQL over the
+        // same tables. VALUES-pinned oracles cost DuckDB ~1 ms while
+        // the engine does the actual pipeline work (index build,
+        // decode, CRUD round trips), so including them inflates the
+        // suite ratio with an apples-to-oranges term.
+        val realNames = SparkEntry.oracleSql
+          .filterNot(_._2.contains("FROM (VALUES")).keySet
+        val sparkReal = good.filter(o => realNames.contains(o._1)).map(_._2).sum
+        val duckPer = "\"([a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
+          .findAllMatchIn("\"queries\":\\s*\\{([^}]*)\\}".r
+            .findFirstMatchIn(json).map(_.group(1)).getOrElse(""))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val duckReal = duckPer.filter(kv => realNames.contains(kv._1)).values.sum
+        val subset =
+          if (duckReal > 0)
+            s""","real_oracle_subset":{"n":${realNames.size},"spark_seq_sum_sec":${"%.3f".format(sparkReal)},"duckdb_sum_sec":${"%.3f".format(duckReal)},"ratio":${"%.2f".format(sparkReal / duckReal)}}"""
+          else ""
+        s""","duckdb_oracle":$json,"ratio_wall_par_vs_duckdb":$ratioPar,"ratio_wall_seq_vs_duckdb":$ratioSeq$subset"""
+      case None => ""
+    }
+
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sum_query_sec":${"%.3f".format(good.map(_._2).sum)},"parallelism":$par,"warmup_sec":${"%.3f".format(warmSec)}$vector,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.3f".format(wallPar)},"unit":"sec","queries":$qs,"errors":$errs,"wall_par${par}_cold_sec":${"%.3f".format(wallPar)},"wall_seq_warm_sec":${"%.3f".format(wallSeq)},"sum_query_sec":${"%.3f".format(good.map(_._2).sum)},"parallelism":$par,"n_queries":${outSeq.size}$duck$vector,"sf":"$sfDir"}"""
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), json)
     spark.stop()

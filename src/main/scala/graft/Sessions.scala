@@ -43,6 +43,12 @@ object Sessions {
       // are cp949 (S4), which needs the full JVM charset set
       .config("spark.sql.legacy.javaCharsets", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // coalesce post-shuffle partitions by SIZE, not parallelism:
+      // sub-100-row shuffle outputs collapse to one partition instead
+      // of scheduling 32 near-empty tasks per stage — the fixed-cost
+      // tax the round-2 bench audit flagged. At scale partitions are
+      // advisory-size-bound anyway, so this only removes empty tasks.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
