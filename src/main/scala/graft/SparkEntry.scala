@@ -451,13 +451,30 @@ object SparkEntry {
           round(TimeSeriesOps.smape(col("v"), col("pred")), 4).as("smape"))
     }),
     "salted_join" -> ((s, d) => {
+      // hot-key-only skew join: sampled key histogram picks the keys
+      // that need salting, the cold 99.9% take the plain shuffle join
+      // — result equals the plain inner join (RelationalSpec)
       val big = t(s, d, "lineitem").select("l_orderkey", "l_extendedprice")
       val small = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      Relational.saltedJoin(big, small, "l_orderkey", saltFactor = 4)
+      Relational.skewJoin(big, small, "l_orderkey", saltFactor = 4,
+          sampleFraction = 0.05, hotKeyCount = 8)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("revenue"))
         .orderBy("o_orderpriority")
+    }),
+    "pack_sequences" -> ((s, d) => {
+      // LLM training-data sequence packing: concat-and-split into
+      // 2048-token sequences within 8 deterministic shards — every
+      // shard packs in parallel (Packing.scala scale note)
+      val docs = tp(s, d, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+      graft.operators.Packing.packSequences(docs, col("shard"), col("doc_id"),
+          col("toks"), 2048L)
+        .groupBy("shard", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+        .orderBy("shard", "seq_id")
     }),
     "w5_windows" -> ((s, d) => {
       val daily = t(s, d, "events").filter(col("user_id") === 2)
@@ -1177,6 +1194,10 @@ object SparkEntry {
       "WHERE o.o_orderpriority = '1-URGENT' GROUP BY 1 ORDER BY 1"),
     "sql_knn" -> (knnTopSql.format(10) +
       " SELECT vec_id, round(s, 4) AS score FROM top ORDER BY score DESC, vec_id"),
+    "pack_sequences" -> ("WITH d AS (SELECT doc_id, doc_id % 8 AS shard, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents), " +
+      "w AS (SELECT *, coalesce(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before FROM d) " +
+      "SELECT shard, CAST(floor(tokens_before / 2048) AS BIGINT) AS seq_id, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens " +
+      "FROM w GROUP BY 1, 2 ORDER BY shard, seq_id"),
     "zscore" -> ("WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL AND NOT isnan(value)), " +
       "s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma FROM e GROUP BY 1) " +
       "SELECT e.event_type, round(max((value - mu)/sigma), 4) AS max_z, round(min((value - mu)/sigma), 4) AS min_z " +

@@ -41,6 +41,23 @@ class RelationalSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("skewJoin equals the plain inner join on skewed data (hot keys salted, cold plain)") {
+    // key 7 carries 500 rows (hot), keys 100..149 one row each (cold);
+    // the seeded 50% sample cannot miss the hot key
+    val big = ((1 to 500).map(_ => 7L) ++ (100L to 149L))
+      .zipWithIndex.map { case (k, i) => (k, i.toDouble) }.toDF("k", "v")
+    val small = (Seq(7L) ++ (100L to 149L)).map(k => (k, s"t$k")).toDF("k", "tag")
+    val skew = Relational.skewJoin(big, small, "k", saltFactor = 4,
+        sampleFraction = 0.5, hotKeyCount = 2)
+      .groupBy("tag").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .as[(String, Long, Double)].collect().toSet
+    val plain = big.join(small, "k")
+      .groupBy("tag").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(skew == plain)
+    assert(skew.exists { case (tag, n, _) => tag == "t7" && n == 500 })
+  }
+
   test("cumulativeBudget keeps the boundary row (truncate-last semantics)") {
     val docs = Seq((1L, 500L), (2L, 400L), (3L, 300L), (4L, 200L)).toDF("id", "len")
     val out = Relational.cumulativeBudget(docs, Seq(desc("len"), $"id"), $"len", 1000L)
