@@ -838,6 +838,24 @@ object SparkEntry {
               size(array_union(col("sha"), col("shb")))), 4).as("jaccard"))
         .orderBy("id_a")
     }),
+    "simhash_neardups" -> ((s, d) => // exempt: JVM 64-bit sketch bands
+      Dedup.simhashNearDups(
+        tp(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg("hamming"), 4).as("avg_hamming"))),
+    "mm_frames" -> ((s, d) => {
+      // multimodal frame sampling: video assets → every-2nd 256-byte
+      // frame via posexplode; the oracle recomputes frame counts/bytes
+      // from octet lengths, so the explode shape is REAL-oracle checked
+      // even though the codec is stubbed
+      val assets = tp(s, d, "documents").filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id").as("asset_id"), encode(col("text"), "UTF-8").as("bytes"))
+      Multimodal.sampleFrames(assets, stride = 2)
+        .groupBy("asset_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame_bytes"))).cast("bigint").as("frame_bytes"))
+        .orderBy("asset_id").limit(50)
+    }),
     "minhash_neardups" -> ((s, d) => // exempt: xxhash band buckets
       Dedup.minhashNearDups(
         tp(s, d, "documents").filter(col("doc_id") < 300), "doc_id", "text",
@@ -1194,6 +1212,11 @@ object SparkEntry {
       "WHERE o.o_orderpriority = '1-URGENT' GROUP BY 1 ORDER BY 1"),
     "sql_knn" -> (knnTopSql.format(10) +
       " SELECT vec_id, round(s, 4) AS score FROM top ORDER BY score DESC, vec_id"),
+    "mm_frames" -> ("WITH d AS (SELECT doc_id AS asset_id, octet_length(encode(text)) AS nb FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0), " +
+      "c AS (SELECT asset_id, nb, CAST(ceil(nb/256.0) AS BIGINT) AS nchunks FROM d), " +
+      "f AS (SELECT asset_id, nb, nchunks, CAST(ceil(nchunks/2.0) AS BIGINT) AS n_frames FROM c) " +
+      "SELECT asset_id, n_frames, CAST(256*(n_frames-1) + CASE WHEN 2*(n_frames-1) = nchunks-1 THEN nb - 256*(nchunks-1) ELSE 256 END AS BIGINT) AS frame_bytes " +
+      "FROM f ORDER BY asset_id LIMIT 50"),
     "pack_sequences" -> ("WITH d AS (SELECT doc_id, doc_id % 8 AS shard, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents), " +
       "w AS (SELECT *, coalesce(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before FROM d) " +
       "SELECT shard, CAST(floor(tokens_before / 2048) AS BIGINT) AS seq_id, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens " +

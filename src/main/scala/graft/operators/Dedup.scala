@@ -221,6 +221,32 @@ object Dedup {
   })
   def simhash(text: Column): Column = simhashUdf(text)
 
+  /** SimHash near-duplicate candidate pairs: band the 64-bit sketch
+    * into 4×16-bit buckets, candidates from band equi-joins only, then
+    * exact Hamming verify ≤ `maxHamming`. Pigeonhole guarantees full
+    * recall for maxHamming ≤ 3: four bands can't all absorb three
+    * differing bits. (idA < idB; hot buckets capped like the other LSH
+    * paths.) */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3,
+                      maxBucketSize: Int = 10000): DataFrame = {
+    require(maxHamming <= 3, "4-band simhash LSH only guarantees recall for hamming <= 3")
+    val sk = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sk"))
+    val banded = sk.select(col("id"), col("sk"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("sk"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))): _*)).as("b"))
+      .select(col("id"), col("sk"), col("b.band"), col("b.bucket"))
+    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize,
+      "simhash_neardups_buckets")
+    val a = capped.select(col("band"), col("bucket"), col("id").as("idA"), col("sk").as("skA"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("idB"), col("sk").as("skB"))
+    a.join(b, Seq("band", "bucket")).filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        bit_count(col("skA").bitwiseXOR(col("skB"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("idA", "idB")
+  }
+
   /** Exact n-gram Jaccard between two text columns (verification
     * scalar; candidate generation must come from LSH, never this). */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {

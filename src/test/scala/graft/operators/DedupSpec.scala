@@ -71,6 +71,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("simhashNearDups: close pairs found via band buckets, far pairs excluded") {
+    val pairs = Dedup.simhashNearDups(docs, "id", "text", maxHamming = 3)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "identical docs (hamming 0) must pair")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc must not pair")
+    // recall guarantee only holds to hamming 3 with 4 bands
+    assertThrows[IllegalArgumentException](
+      Dedup.simhashNearDups(docs, "id", "text", maxHamming = 9))
+  }
+
   test("hot-bucket guard: an adversarial boilerplate bucket is capped, small buckets unaffected") {
     // 500 identical docs (one LSH bucket per band) + one small near-dup
     // pair — without the cap the hot bucket alone yields 124,750

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: the codecs are stubs (no media libs in
+  * this container) but the Spark shapes — binary columns + typed
+  * metadata, partition-batch decode, posexplode frame sampling,
+  * binary→binary resize, histogram features — are real and asserted
+  * here. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val assets = Seq(
+    (1L, "video", "mem://1", "x" * 700),
+    (2L, "image", "mem://2", "y" * 100),
+    (3L, "audio", "mem://3", "")).toDF("asset_id", "media_type", "uri", "txt")
+    .select($"asset_id", $"media_type", $"uri", encode($"txt", "UTF-8").as("bytes"),
+      map(lit("k"), lit("v")).as("meta"))
+
+  test("decode appends a typed struct, deterministically from the bytes") {
+    val out = Multimodal.decode(assets)
+    assert(out.schema("decoded").dataType.typeName == "struct")
+    val twice = Multimodal.decode(assets)
+    val a = out.select($"asset_id", $"decoded.width", $"decoded.duration_s")
+      .as[(Long, Int, Double)].collect().toSet
+    val b = twice.select($"asset_id", $"decoded.width", $"decoded.duration_s")
+      .as[(Long, Int, Double)].collect().toSet
+    assert(a == b)
+    assert(a.forall { case (_, w, d) => w >= 160 && w <= 1280 && d >= 1.0 && d <= 61.0 })
+  }
+
+  test("sampleFrames keeps every stride-th 256-byte frame, covering the blob") {
+    val frames = Multimodal.sampleFrames(assets.filter($"asset_id" === 1), stride = 2)
+      .select($"frame_idx", length($"frame_bytes").as("n")).as[(Int, Int)]
+      .collect().sortBy(_._1)
+    // 700 bytes → chunks of 256/256/188 at indices 0,1,2 → kept 0 and 2
+    assert(frames.map(_._1).toSeq == Seq(0, 1))
+    assert(frames.map(_._2).toSeq == Seq(256, 188))
+    // empty blob → no frames, asset absent after explode
+    assert(Multimodal.sampleFrames(assets.filter($"asset_id" === 3), 2).count() == 0)
+  }
+
+  test("byteHistogram is an L1-normalized 16-bin feature vector") {
+    val h = assets.filter($"asset_id" === 2)
+      .select(Multimodal.byteHistogramUdf($"bytes")).head.getSeq[Double](0)
+    assert(h.length == 16)
+    assert(math.abs(h.sum - 1.0) < 1e-9)
+    // 'y' = 0x79 → bin 7 carries everything
+    assert(h(7) == 1.0)
+  }
+
+  test("resize truncates or zero-pads to the target size") {
+    val out = assets.select($"asset_id",
+        length(Multimodal.resizeUdf($"bytes", lit(64))).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(out(1L) == 64 && out(2L) == 64 && out(3L) == 64)
+  }
+
+  test("metadata-only queries prune the blob column out of the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mm_").toString
+    assets.write.mode("overwrite").parquet(dir)
+    val p = spark.read.parquet(dir).select("asset_id", "media_type")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<asset_id:bigint,media_type:string>"),
+      p.take(1500))
+  }
+}
