@@ -76,9 +76,14 @@ object Bench {
     try {
       val oraclePath = Files.createTempFile("graft_oracle_", ".json")
       Files.writeString(oraclePath, Verify.oracleSqlJson)
-      val pb = new ProcessBuilder("python3", "scripts/bench_oracle.py",
-        sfDir, oraclePath.toString)
-      pb.redirectErrorStream(false)
+      val script = Seq("scripts/bench_oracle.py",
+        "/root/repo/scripts/bench_oracle.py")
+        .find(p => Files.exists(Paths.get(p)))
+        .getOrElse("scripts/bench_oracle.py")
+      val pb = new ProcessBuilder("python3", script, sfDir, oraclePath.toString)
+      // stream stderr through (never buffer it — a chatty error path
+      // filling the pipe would deadlock the stdout read)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
       val out = new String(proc.getInputStream.readAllBytes()).trim
       val code = proc.waitFor()
