@@ -21,11 +21,19 @@ object Tables {
 
   // loaded-table memo: spark.read.parquet re-lists the directory and
   // re-reads footers on every call, a fixed ~50-100 ms tax per query
-  // that a 101-query suite pays 101 times. DataFrames are immutable
-  // plans, so sharing one per (session, dir, table) is free. (Weak on
-  // the session key so stopped test sessions don't pin plans.)
+  // that a 100+-query suite pays once per query. DataFrames are
+  // immutable plans, so sharing one per (session, dir, table) is free.
+  // The map holds STRONG references — a stopped session stays pinned
+  // until [[invalidate]] — acceptable for the one-session-per-process
+  // mains and the shared test session; an embedding app cycling many
+  // sessions should call invalidate(spark) on teardown.
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** Drop every memoized plan for `spark` (call when stopping a
+    * session the process will outlive). */
+  def invalidate(spark: SparkSession): Unit =
+    memo.keys.filter(_._1 eq spark).foreach(memo.remove)
 
   /** Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`
     * (see [[Sessions.builder]]): the testdata's `events.ts` is
@@ -64,15 +72,4 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 
-  /** Bench warmup: cache + materialize every table so per-query times
-    * measure compute, not cold parquet IO (the DuckDB oracle's
-    * repeated scans equally ride the OS page cache). Returns seconds
-    * spent warming. At production scale this maps to cluster cache /
-    * alluxio tiers, not a correctness dependency — Verify never calls
-    * it. */
-  def warmAll(spark: SparkSession, sfDir: String): Double = {
-    val t0 = System.nanoTime()
-    names.foreach(n => load(spark, sfDir, n).cache().count())
-    (System.nanoTime() - t0) / 1e9
-  }
 }

@@ -274,19 +274,24 @@ object Dedup {
         1000000L).toDouble / 1000000.0) - 0.5
     }
     udf((emb: Seq[Float]) => {
-      val v = emb
-      var bucket = 0L
-      var b = 0
-      while (b < bits) {
-        val h = planes(b)
-        var d = 0.0
-        var j = 0
-        val n = math.min(dim, v.length)
-        while (j < n) { d += v(j).toDouble * h(j); j += 1 }
-        if (d >= 0) bucket |= (1L << b)
-        b += 1
+      // null embedding → null bucket (the HOF formulation this replaced
+      // null-propagated; the bucket join then drops the row)
+      if (emb == null) null
+      else {
+        val v = emb
+        var bucket = 0L
+        var b = 0
+        while (b < bits) {
+          val h = planes(b)
+          var d = 0.0
+          var j = 0
+          val n = math.min(dim, v.length)
+          while (j < n) { d += v(j).toDouble * h(j); j += 1 }
+          if (d >= 0) bucket |= (1L << b)
+          b += 1
+        }
+        java.lang.Long.valueOf(bucket)
       }
-      bucket
     })
   }
 
@@ -320,8 +325,12 @@ object Dedup {
                         dim: Int, bits: Int = 12,
                         threshold: Double = 0.95,
                         maxBucketSize: Int = 10000): DataFrame = {
-    val bucketed0 = df.select(col(idCol).as("id"), col(embCol).as("emb"),
-      signBucket(col(embCol), dim, bits).as("bucket"))
+    // null embeddings can't be near-duplicates of anything — drop them
+    // before bucketing (also keeps the compiled UDF's hot loop free of
+    // per-element null handling)
+    val bucketed0 = df.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("id"), col(embCol).as("emb"),
+        signBucket(col(embCol), dim, bits).as("bucket"))
     val bucketed = capBuckets(bucketed0, Seq("bucket"), maxBucketSize,
       "embed_neardups_buckets")
     val a = bucketed.select(col("bucket"), col("id").as("idA"), col("emb").as("embA"))

@@ -62,10 +62,10 @@ class DedupSpec extends SparkSpec {
     assert(r.getDouble(1) == 0.0)
   }
 
-  test("embeddingNearDups: bucketed candidates verified by cosine") {
-    val emb = Seq(
+  test("embeddingNearDups: bucketed candidates verified by cosine; null embeddings dropped") {
+    val emb = Seq[(Long, Seq[Float])](
       (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0.99f, 0.01f, 0f, 0f)),
-      (3L, Seq(0f, 1f, 0f, 0f))).toDF("id", "emb")
+      (3L, Seq(0f, 1f, 0f, 0f)), (4L, null)).toDF("id", "emb")
     val pairs = Dedup.embeddingNearDups(emb, "id", "emb", dim = 4, bits = 6,
       threshold = 0.95).select("idA", "idB").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
