@@ -856,6 +856,25 @@ object SparkEntry {
           sum(length(col("frame_bytes"))).cast("bigint").as("frame_bytes"))
         .orderBy("asset_id").limit(50)
     }),
+    "stratified_sample" -> ((s, d) =>
+      // training-mix construction: per-language systematic sampling at
+      // fixed per-mille rates — deterministic hash-mod membership the
+      // oracle reproduces with plain integer arithmetic
+      graft.operators.Sampling.systematicSample(
+        t(s, d, "documents"), col("doc_id"), col("lang"),
+        Map("en" -> 800L, "fr" -> 500L, "es" -> 250L, "de" -> 250L, "zh" -> 100L))
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")),
+    "contamination" -> ((s, d) => {
+      // decontamination: corpus docs sharing any word 3-gram with the
+      // (simulated) eval set doc_id<5; real pipelines use 8-13-grams —
+      // 3 here because the synthetic docs are short
+      val docs = tp(s, d, "documents")
+      Dedup.contamination(docs.filter(col("doc_id") >= 5),
+          docs.filter(col("doc_id") < 5), "doc_id", "text", shingleN = 3)
+        .agg(count(lit(1)).as("n_contaminated"),
+          sum("n_collisions").cast("bigint").as("n_collisions"))
+    }),
     "minhash_neardups" -> ((s, d) => // exempt: xxhash band buckets
       Dedup.minhashNearDups(
         tp(s, d, "documents").filter(col("doc_id") < 300), "doc_id", "text",
@@ -1212,6 +1231,14 @@ object SparkEntry {
       "WHERE o.o_orderpriority = '1-URGENT' GROUP BY 1 ORDER BY 1"),
     "sql_knn" -> (knnTopSql.format(10) +
       " SELECT vec_id, round(s, 4) AS score FROM top ORDER BY score DESC, vec_id"),
+    "stratified_sample" -> ("SELECT lang, count(*) AS n_sampled FROM documents " +
+      "WHERE (doc_id * 2654435761) % 1000 < CASE lang WHEN 'en' THEN 800 WHEN 'fr' THEN 500 WHEN 'es' THEN 250 WHEN 'de' THEN 250 WHEN 'zh' THEN 100 ELSE 0 END " +
+      "GROUP BY lang ORDER BY lang"),
+    "contamination" -> ("WITH t AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks)-2, 0)), i -> array_to_string(toks[i:i+2], ' '))) AS sh " +
+      "FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9][a-z0-9\\-_/]+') AS toks FROM documents)), " +
+      "ev AS (SELECT DISTINCT unnest(sh) AS s FROM t WHERE doc_id < 5), " +
+      "corpus AS (SELECT doc_id, unnest(sh) AS s FROM t WHERE doc_id >= 5) " +
+      "SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contaminated, count(*) AS n_collisions FROM corpus JOIN ev USING (s)"),
     "mm_frames" -> ("WITH d AS (SELECT doc_id AS asset_id, octet_length(encode(text)) AS nb FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0), " +
       "c AS (SELECT asset_id, nb, CAST(ceil(nb/256.0) AS BIGINT) AS nchunks FROM d), " +
       "f AS (SELECT asset_id, nb, nchunks, CAST(ceil(nchunks/2.0) AS BIGINT) AS n_frames FROM c) " +

@@ -247,6 +247,23 @@ object Dedup {
       .dropDuplicates("idA", "idB")
   }
 
+  /** Eval-set decontamination (train-test overlap): corpus docs
+    * sharing any word `n`-gram with the eval set, with per-doc
+    * collision counts. Shingles explode into (shingle, doc) rows and
+    * collide via an equi-join against the BROADCAST distinct eval
+    * shingle set — eval benchmarks are small, the corpus is the 100 TB
+    * side, and no doc×doc comparison ever happens. Callers drop or
+    * flag the returned ids before training. */
+  def contamination(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String, shingleN: Int): DataFrame = {
+    def sh(df: DataFrame) = df.select(col(idCol), explode(array_distinct(
+      shingles(tokenize(col(textCol)), shingleN))).as("_sh"))
+    val ev = sh(evalSet).select(col("_sh")).distinct()
+    sh(corpus).join(broadcast(ev), Seq("_sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_collisions"))
+  }
+
   /** Exact n-gram Jaccard between two text columns (verification
     * scalar; candidate generation must come from LSH, never this). */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {

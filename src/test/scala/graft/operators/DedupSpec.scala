@@ -81,6 +81,17 @@ class DedupSpec extends SparkSpec {
       Dedup.simhashNearDups(docs, "id", "text", maxHamming = 9))
   }
 
+  test("contamination flags corpus docs sharing an n-gram with the eval set") {
+    val evalSet = Seq((100L, "the quick brown fox jumps high")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "something about the quick brown fox in a field"), // shares "the quick brown" + "quick brown fox"
+      (2L, unrelated)).toDF("id", "text")
+    val out = Dedup.contamination(corpus, evalSet, "id", "text", shingleN = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L) == 2L)
+  }
+
   test("hot-bucket guard: an adversarial boilerplate bucket is capped, small buckets unaffected") {
     // 500 identical docs (one LSH bucket per band) + one small near-dup
     // pair — without the cap the hot bucket alone yields 124,750
