@@ -212,6 +212,24 @@ object SparkEntry {
       li.join(broadcast(urgent), li("l_orderkey") === urgent("o_orderkey"), "left_semi")
         .agg(count(lit(1)).as("n"))
     }),
+    "q3_shipping" -> ((s, d) => {
+      // TPC-H-Q3 shape: selective dim filters on both join sides, FK
+      // chain customer→orders→lineitem, revenue agg, top-10 — the
+      // canonical multi-join plan (broadcast dims, shuffle on the fact)
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("date"))
+      val l = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("date"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    }),
     "j3_date_spine" -> ((s, d) => {
       val daily = t(s, d, "events").filter(col("user_id") === 1)
         .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("cnt"))
@@ -276,6 +294,18 @@ object SparkEntry {
         .select(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"),
           col("o_orderstatus"))
         .limit(50)),
+    "w9_distribution" -> ((s, d) => {
+      // distribution window functions: ntile / percent_rank / cume_dist
+      // per key — one shuffle on the partition key
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders").filter(col("o_custkey") < 10)
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).cast("bigint").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
   )
 
   /** §2.7 set ops + §2.8 scalar-function queries. */
@@ -332,6 +362,14 @@ object SparkEntry {
       t(s, d, "documents")
         .rollup("lang", "source")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))),
+    "cube_stats" -> ((s, d) =>
+      // full cube: every (lang, source) marginal in one pass — the
+      // other grouping-sets family member
+      t(s, d, "documents")
+        .cube("lang", "source")
+        .agg(count(lit(1)).as("n"),
+          round(avg("n_chars"), 4).as("avg_chars"))
         .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))),
     "text_tokens" -> ((s, d) =>
       tp(s, d, "documents")
@@ -1093,6 +1131,18 @@ object SparkEntry {
     "j2_multiway" -> ("SELECT r_name, count(*) AS n_customers FROM customer JOIN nation ON c_nationkey = n_nationkey " +
       "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name"),
     "j4_semijoin" -> "SELECT count(*) AS n FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')",
+    "q3_shipping" -> ("SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS order_date, o.o_orderpriority, " +
+      "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue " +
+      "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey JOIN customer c ON o.o_custkey = c.c_custkey " +
+      "WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < DATE '1995-03-15' AND l.l_shipdate > DATE '1995-03-15' " +
+      "GROUP BY 1, 2, 3 ORDER BY revenue DESC, l.l_orderkey LIMIT 10"),
+    "w9_distribution" -> ("SELECT o_custkey, o_orderkey, " +
+      "CAST(ntile(4) OVER w AS BIGINT) AS quartile, round(percent_rank() OVER w, 6) AS pct_rank, round(cume_dist() OVER w, 6) AS cdist " +
+      "FROM orders WHERE o_custkey < 10 " +
+      "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) " +
+      "ORDER BY o_custkey, o_orderkey"),
+    "cube_stats" -> ("SELECT lang, source, count(*) AS n, round(avg(n_chars), 4) AS avg_chars FROM documents " +
+      "GROUP BY CUBE (lang, source) ORDER BY lang NULLS FIRST, source NULLS FIRST"),
     "j3_date_spine" -> ("WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt FROM events WHERE user_id = 1 GROUP BY day), " +
       "b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d), " +
       "spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b) " +
