@@ -901,6 +901,8 @@ object SparkEntry {
       graft.operators.Sampling.systematicSample(
         t(s, d, "documents"), col("doc_id"), col("lang"),
         Map("en" -> 800L, "fr" -> 500L, "es" -> 250L, "de" -> 250L, "zh" -> 100L))
+        // (id folded mod 100003 before the multiply — no 64-bit wrap at
+        // any id range; see Sampling scaladoc)
         .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")),
     "contamination" -> ((s, d) => {
@@ -911,7 +913,7 @@ object SparkEntry {
       Dedup.contamination(docs.filter(col("doc_id") >= 5),
           docs.filter(col("doc_id") < 5), "doc_id", "text", shingleN = 3)
         .agg(count(lit(1)).as("n_contaminated"),
-          sum("n_collisions").cast("bigint").as("n_collisions"))
+          coalesce(sum("n_collisions"), lit(0L)).cast("bigint").as("n_collisions"))
     }),
     "minhash_neardups" -> ((s, d) => // exempt: xxhash band buckets
       Dedup.minhashNearDups(
@@ -1256,7 +1258,7 @@ object SparkEntry {
     "st4_rechunk" -> ("SELECT doc_id, CAST(floor((length(text)-1)/100) + 1 AS BIGINT) AS n_chunks " +
       "FROM documents WHERE doc_id < 30 ORDER BY doc_id"),
     "jaccard_adjacent" -> ("WITH t AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks)-2, 0)), i -> array_to_string(toks[i:i+2], ' '))) AS sh " +
-      "FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9][a-z0-9\\-_/]+') AS toks FROM documents WHERE doc_id < 40)) " +
+      "FROM (SELECT doc_id, regexp_extract_all(lower(text), '[가-힣a-z0-9][가-힣a-z0-9\\-_/]+') AS toks FROM documents WHERE doc_id < 40)) " +
       "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
       "round(CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0 " +
       "ELSE len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END, 4) AS jaccard " +
@@ -1282,10 +1284,10 @@ object SparkEntry {
     "sql_knn" -> (knnTopSql.format(10) +
       " SELECT vec_id, round(s, 4) AS score FROM top ORDER BY score DESC, vec_id"),
     "stratified_sample" -> ("SELECT lang, count(*) AS n_sampled FROM documents " +
-      "WHERE (doc_id * 2654435761) % 1000 < CASE lang WHEN 'en' THEN 800 WHEN 'fr' THEN 500 WHEN 'es' THEN 250 WHEN 'de' THEN 250 WHEN 'zh' THEN 100 ELSE 0 END " +
+      "WHERE ((doc_id % 100003) * 2654435761) % 1000 < CASE lang WHEN 'en' THEN 800 WHEN 'fr' THEN 500 WHEN 'es' THEN 250 WHEN 'de' THEN 250 WHEN 'zh' THEN 100 ELSE 0 END " +
       "GROUP BY lang ORDER BY lang"),
     "contamination" -> ("WITH t AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks)-2, 0)), i -> array_to_string(toks[i:i+2], ' '))) AS sh " +
-      "FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9][a-z0-9\\-_/]+') AS toks FROM documents)), " +
+      "FROM (SELECT doc_id, regexp_extract_all(lower(text), '[가-힣a-z0-9][가-힣a-z0-9\\-_/]+') AS toks FROM documents)), " +
       "ev AS (SELECT DISTINCT unnest(sh) AS s FROM t WHERE doc_id < 5), " +
       "corpus AS (SELECT doc_id, unnest(sh) AS s FROM t WHERE doc_id >= 5) " +
       "SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contaminated, count(*) AS n_collisions FROM corpus JOIN ev USING (s)"),

@@ -15,13 +15,20 @@ import org.apache.spark.sql.functions._
   * reproduces it exactly), and auditable: membership of every document
   * in the training mix is a pure function of its id. That property is
   * what a 100 TB mix build needs — re-running the pipeline, or
-  * rebuilding one shard, selects the same rows. */
+  * rebuilding one shard, selects the same rows.
+  *
+  * The id is folded mod a prime BEFORE the multiply, so the product
+  * stays < 2^48 and the rule never 64-bit-wraps at any id range (a
+  * bare id·PRIME silently wraps in Spark past id ≈ 3.5e9 while DuckDB
+  * raises — exactly the divergence a portable rule must not have).
+  * Ids are assumed non-negative (DuckDB `%` goes negative there,
+  * Spark's pmod does not). */
 object Sampling {
 
   def systematicSample(df: DataFrame, idCol: Column, stratumCol: Column,
                        ratesPermille: Map[String, Long],
                        defaultPermille: Long = 0L): DataFrame = {
-    val key = pmod(idCol * lit(2654435761L), lit(1000L))
+    val key = pmod(pmod(idCol, lit(100003L)) * lit(2654435761L), lit(1000L))
     // foldLeft in sorted order for a deterministic plan
     val rate = ratesPermille.toSeq.sortBy(_._1)
       .foldLeft(lit(defaultPermille)) { case (acc, (s, r)) =>

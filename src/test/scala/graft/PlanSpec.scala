@@ -45,6 +45,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("q3 multi-join: dimension broadcast + top-10 as TakeOrderedAndProject") {
+    val p = plan("q3_shipping")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("GreaterThan(l_shipdate"), p.take(2000))
+  }
+
+  test("a8 interpolation: all window passes share one hash partitioning on the series key") {
+    val p = plan("a8_interpolate")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"expected the windows to reuse the keyed partitioning ($exchanges exchanges):\n" +
+        p.take(3000))
+  }
+
   test("JDBC scan pushes the numeric predicate to the database (s2)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_derby_plan_").toString
     val url = graft.sources.JdbcSource.derbyUrl(tmp)
