@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the forked main's stdout (Bench's JSON
+// line) from a bounded log tail. Two sbt behaviors break that parse:
+// the default LoggedOutput strategy prefixes every child line with
+// "[info] ", and the "[success] Total time" epilogue lands after the
+// JSON line. Pass child output through verbatim and drop the epilogue.
+outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -153,23 +153,31 @@ object Bench {
     }
 
     // self-adjudication: DuckDB oracle wall + ratio inside the artifact
+    var duckWarmWall: Option[Double] = None
+    var subsetSummary: String = ""
     val duck = duckdbBaseline(sfDir) match {
       case Some(json) =>
         // ratio vs the WARM DuckDB wall — the comparison least
         // favorable to this engine
         val wall = "\"duckdb_wall_warm_sec\"\\s*:\\s*([0-9.]+)".r
           .findFirstMatchIn(json).map(_.group(1).toDouble)
+        duckWarmWall = wall
         val ratioPar = wall.map(w => "%.2f".format(wallPar / w)).getOrElse("null")
         val ratioSeq = wall.map(w => "%.2f".format(wallSeq / w)).getOrElse("null")
         // comparable subset: queries whose oracle is REAL SQL over the
         // same tables. VALUES-pinned oracles cost DuckDB ~1 ms while
         // the engine does the actual pipeline work (index build,
         // decode, CRUD round trips), so including them inflates the
-        // suite ratio with an apples-to-oranges term. Sums run over
-        // the INTERSECTION of queries both engines actually completed,
+        // suite ratio with an apples-to-oranges term. Side-effecting /
+        // setup-heavy queries (Derby spin-up, sink round trips) are
+        // also excluded: their Spark time is dominated by work the
+        // trivial DuckDB oracle never does. Sums run over the
+        // INTERSECTION of queries both engines actually completed,
         // and `n` reports that intersection.
+        val sideEffecting = Set("s2_jdbc", "s10_append", "s11_crud",
+          "index_append_dedup", "ingest_chunks", "ingest_bulk")
         val realNames = SparkEntry.oracleSql
-          .filterNot(_._2.contains("FROM (VALUES")).keySet
+          .filterNot(_._2.contains("FROM (VALUES")).keySet -- sideEffecting
         val sparkPer = good.map(o => o._1 -> o._2).toMap
         val duckPer = "\"([a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
           .findAllMatchIn("\"queries\":\\s*\\{([^}]*)\\}".r
@@ -179,19 +187,53 @@ object Bench {
         val sparkReal = both.toSeq.map(sparkPer).sum
         val duckReal = both.toSeq.map(duckPer).sum
         val subset =
-          if (duckReal > 0)
-            s""","real_oracle_subset":{"n":${both.size},"spark_seq_sum_sec":${"%.3f".format(sparkReal)},"duckdb_sum_sec":${"%.3f".format(duckReal)},"ratio":${"%.2f".format(sparkReal / duckReal)}}"""
-          else ""
+          if (duckReal > 0) {
+            subsetSummary =
+              s""","real_oracle_subset":{"n":${both.size},"ratio":${"%.2f".format(sparkReal / duckReal)}}"""
+            s""","real_oracle_subset":{"n":${both.size},"excluded_side_effecting":${sideEffecting.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"spark_seq_sum_sec":${"%.3f".format(sparkReal)},"duckdb_sum_sec":${"%.3f".format(duckReal)},"ratio":${"%.2f".format(sparkReal / duckReal)}}"""
+          } else ""
         s""","duckdb_oracle":$json,"ratio_wall_par_vs_duckdb":$ratioPar,"ratio_wall_seq_vs_duckdb":$ratioSeq$subset"""
       case None => ""
     }
 
+    // Shared headline keys. Since round 4 the wall key is named for
+    // what it measures (post-warmup concurrent wall, not cold), the
+    // artifact carries a schema_version, and `queries` is explicitly
+    // labeled: per-query seconds come from the warm PAR=1 pass (r01/
+    // r02 recorded contended concurrent times under the same key).
+    val headline =
+      s""""value":${"%.3f".format(wallPar)},"unit":"sec","schema_version":4,"wall_par${par}_postwarm_sec":${"%.3f".format(wallPar)},"wall_seq_warm_sec":${"%.3f".format(wallSeq)},"sum_query_sec":${"%.3f".format(good.map(_._2).sum)},"parallelism":$par,"n_queries":${outSeq.size},"queries_methodology":"seq_warm_par1""""
     val json =
-      s"""{"metric":"total","value":${"%.3f".format(wallPar)},"unit":"sec","queries":$qs,"errors":$errs,"errors_par_only":$parOnlyErrs,"wall_par${par}_cold_sec":${"%.3f".format(wallPar)},"wall_seq_warm_sec":${"%.3f".format(wallSeq)},"sum_query_sec":${"%.3f".format(good.map(_._2).sum)},"parallelism":$par,"n_queries":${outSeq.size}$duck$vector,"sf":"$sfDir"}"""
+      s"""{"metric":"total",$headline,"queries":$qs,"errors":$errs,"errors_par_only":$parOnlyErrs$duck$vector,"sf":"$sfDir"}"""
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), json)
+
+    // Compact summary line: the driver parses the run's log TAIL (a
+    // bounded window), so the last stdout line must be a complete JSON
+    // object well under that window. The full artifact (all per-query
+    // times + the embedded DuckDB detail) is the line above and the
+    // BENCH_LOCAL.json copy; the compact line carries the headline
+    // numbers plus the slowest queries, with the truncation disclosed.
+    val duckKeys = duckWarmWall.map { w =>
+      s""","duckdb_wall_warm_sec":${"%.3f".format(w)},"ratio_wall_par_vs_duckdb":${"%.2f".format(wallPar / w)},"ratio_wall_seq_vs_duckdb":${"%.2f".format(wallSeq / w)}$subsetSummary"""
+    }.getOrElse("")
+    val slowest = good.sortBy(-_._2)
+    def compactLine(k: Int): String = {
+      val topQ = slowest.take(k)
+        .map { case (n, v, _) => s""""$n":${"%.3f".format(v)}""" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total",$headline,"queries":$topQ,"queries_shown":${math.min(k, slowest.size)},"queries_full":"BENCH_LOCAL.json","n_errors":${seqFailed.size}$duckKeys,"sf":"$sfDir"}"""
+    }
+    // shrink until the line is safely inside a 2000-char tail window
+    val compact = Iterator(15, 10, 5, 0).map(compactLine).find(_.length <= 1500)
+      .getOrElse(compactLine(0))
+
     spark.stop()
-    // bare last line on stdout, after Spark's shutdown logging
+    // bare final lines on stdout, after Spark's shutdown logging:
+    // full artifact first, compact summary LAST (tail-window parsers
+    // see the compact line whole; full-stdout parsers can use either)
     println(json)
+    println(compact)
+    System.out.flush()
   }
 }

@@ -324,12 +324,17 @@ object Dedup {
     * never silent. The window count shuffles on the same key as the
     * candidate join that follows, so the guard adds no extra exchange
     * at scale (AQE reuses the partitioning). */
+  // observed-metric names must be unique within one plan; a per-call
+  // counter suffix keeps the same LSH operator legal when composed
+  // twice in a single query (the base name stays greppable in metrics)
+  private val observeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def capBuckets(bucketed: DataFrame, keyCols: Seq[String], cap: Int,
                          metricName: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
     val sized = bucketed.withColumn("_bn", count(lit(1)).over(w))
     sized
-      .observe(metricName,
+      .observe(s"${metricName}_${observeSeq.incrementAndGet()}",
         sum(when(col("_bn") > cap, lit(1L)).otherwise(lit(0L))).as("dropped_rows"))
       .filter(col("_bn") <= cap)
       .drop("_bn")

@@ -22,11 +22,23 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object JdbcSource {
 
-  /** Embedded-Derby URL rooted at `dir` (created on first use). Derby
-    * writes its error log under `derby.system.home` — point it at the
-    * same scratch dir so repo paths stay clean. */
+  /** Derby reads `derby.system.home` ONCE at engine boot, so it must
+    * be set process-wide before the first connection — a per-call
+    * setProperty is ignored for later callers and races under
+    * concurrent benches/specs. One scratch dir per JVM keeps the
+    * derby.log out of the repo for every caller. */
+  private lazy val derbyHome: String = {
+    val home = java.nio.file.Files
+      .createTempDirectory("graft_derby_home_").toString
+    System.setProperty("derby.system.home", home)
+    home
+  }
+
+  /** Embedded-Derby URL rooted at `dir` (created on first use). The
+    * database directory is caller-scoped; the engine-wide log home is
+    * initialized once via [[derbyHome]]. */
   def derbyUrl(dir: String): String = {
-    System.setProperty("derby.system.home", dir)
+    derbyHome // force the one-time process-scoped init
     s"jdbc:derby:$dir/db;create=true"
   }
 
