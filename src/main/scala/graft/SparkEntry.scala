@@ -397,7 +397,7 @@ object SparkEntry {
         .groupBy("source").agg(count(lit(1)).as("total_chunks"))
         .orderBy("source")
     }),
-    "doc_fingerprint" -> ((s, d) => // oracle-exempt: JVM rolling hash
+    "doc_fingerprint" -> ((s, d) => // real oracle: HUGEINT mod-2^64 hash
       tp(s, d, "documents")
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
@@ -1128,6 +1128,44 @@ object SparkEntry {
     "p7_regex_parse" -> "SELECT CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS brand_num, count(*) AS n FROM part GROUP BY brand_num ORDER BY brand_num",
     "p10_null_mask" -> "SELECT event_type, count(*) AS n FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY event_type ORDER BY event_type",
     "p11_length_guard" -> "SELECT source, count(*) AS n, round(avg(n_chars),4) AS avg_chars FROM documents WHERE n_chars > 200 GROUP BY source ORDER BY source",
+    // real oracle for the rolling polynomial hash (base 31, 64-bit
+    // wraparound): DuckDB recomputes it in HUGEINT with an explicit
+    // mod 2^64 per step (BIGINT would raise on overflow where the JVM
+    // wraps), then converts to signed two's complement. Parity caveat:
+    // JVM charAt is a UTF-16 unit, unicode() a codepoint — identical
+    // for all BMP text (the corpus; no surrogate pairs).
+    "doc_fingerprint" -> ("WITH t AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+      "list_transform(string_split(text, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
+      "(h, c) -> (h * 31 + c) % CAST('18446744073709551616' AS HUGEINT)) AS m FROM documents) " +
+      "SELECT doc_id, CAST(CASE WHEN m >= CAST('9223372036854775808' AS HUGEINT) " +
+      "THEN m - CAST('18446744073709551616' AS HUGEINT) ELSE m END AS BIGINT) AS fp FROM t ORDER BY doc_id"),
+    // real oracle for the langId heuristic: per-language stopword hit
+    // counts, argmax with the engine's tie-break (alphabetically LAST
+    // among tied maxima; 'und' only when every count is 0)
+    "langid_confusion" -> ("WITH t AS (SELECT lang, string_split_regex(lower(text), '\\s+') AS toks FROM documents), " +
+      "h AS (SELECT lang, " +
+      "len(list_filter(toks, t -> t IN ('the','and','of','to','is','a','in','that'))) AS en, " +
+      "len(list_filter(toks, t -> t IN ('le','la','les','et','de','un','une','est'))) AS fr, " +
+      "len(list_filter(toks, t -> t IN ('el','la','los','y','de','que','es','una'))) AS es, " +
+      "len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein','nicht','mit'))) AS de, " +
+      "len(list_filter(toks, t -> t IN ('的','是','了','在','和','有','我','不'))) AS zh FROM t), " +
+      "p AS (SELECT lang, CASE WHEN greatest(en,fr,es,de,zh) = 0 THEN 'und' " +
+      "WHEN zh = greatest(en,fr,es,de,zh) THEN 'zh' WHEN fr = greatest(en,fr,es,de,zh) THEN 'fr' " +
+      "WHEN es = greatest(en,fr,es,de,zh) THEN 'es' WHEN en = greatest(en,fr,es,de,zh) THEN 'en' " +
+      "ELSE 'de' END AS pred FROM h) " +
+      "SELECT lang, pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1,2 ORDER BY 1,2"),
+    // real oracle for the composite quality score: same length/punct/
+    // digit/stopword arithmetic re-derived with regexp counts (ASCII
+    // printable punctuation — control chars are absent from the corpus)
+    "quality_scores" -> ("WITH t AS (SELECT source, text, length(text) AS len, " +
+      "length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS punct, " +
+      "length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit, " +
+      "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks FROM documents), " +
+      "q AS (SELECT source, CASE WHEN text IS NULL OR len = 0 THEN 0.0 ELSE " +
+      "round((least(len / 400.0, 1.0) * 0.3 + " +
+      "least(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','is','a','in','that'))) AS DOUBLE) / len(toks) END * 4.0, 1.0) * 0.3 + " +
+      "greatest(0.0, 1.0 - CAST(punct AS DOUBLE) / len * 5.0 - CAST(digit AS DOUBLE) / len * 2.0) * 0.4), 6) END AS q FROM t) " +
+      "SELECT source, round(avg(q), 4) AS avg_quality FROM q GROUP BY source ORDER BY source"),
     "j1_equijoin" -> ("SELECT c.c_mktsegment AS segment, count(*) AS n_orders, round(sum(o.o_totalprice),2) AS revenue " +
       "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY segment ORDER BY segment"),
     "j2_multiway" -> ("SELECT r_name, count(*) AS n_customers FROM customer JOIN nation ON c_nationkey = n_nationkey " +

@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -60,16 +58,24 @@ object VectorIndex {
       }
   }
 
-  /** Train k centroids (k-means||, fixed seed → deterministic) on a
-    * seeded SAMPLE of the corpus, never the full data: IVF centroids
-    * only need to approximate the density, and a full-corpus fit at
-    * 100 TB is a full-data ML job before a single probe can run.
+  /** Train k centroids (fixed seed → deterministic) on a seeded
+    * SAMPLE of the corpus, never the full data: IVF centroids only
+    * need to approximate the density, and a full-corpus fit at 100 TB
+    * is a full-data ML job before a single probe can run.
     * `maxTrainSamples` (default 20k ≈ 80 MB of 1024-dim floats)
-    * bounds the fit; corpora at or under the bound train exactly as
-    * before. One cheap count() sizes the sampling fraction. */
+    * bounds the fit; one cheap count() sizes the sampling fraction.
+    *
+    * The fit itself runs ON THE DRIVER (multithreaded Lloyd's over
+    * the collected sample): the sample is driver-bounded by
+    * construction, and a distributed fit costs ~35 scheduler
+    * round-trips (init passes + one job per iteration) to do
+    * milliseconds of arithmetic — at any scale the distributed part
+    * of IVF is assignment + the partitioned write, not the
+    * coarse-quantizer fit (FAISS trains its quantizer on a sample the
+    * same way, ref enhanced_internal_db_service.py:602-630). */
   def train(df: DataFrame, embCol: String, k: Int, seed: Long = 42L,
             maxIter: Int = 20, maxTrainSamples: Int = 20000): Model = {
-    val vecs0 = df.select(array_to_vector(col(embCol)).as("features"))
+    val vecs0 = df.select(col(embCol)).filter(col(embCol).isNotNull)
     val n = vecs0.count()
     val vecs =
       if (n <= maxTrainSamples) vecs0
@@ -77,9 +83,104 @@ object VectorIndex {
       // target with high probability; exactness is irrelevant here
       else vecs0.sample(withReplacement = false,
         math.min(1.0, 1.2 * maxTrainSamples / n.toDouble), seed)
-    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
-    val model = km.fit(vecs)
-    Model(model.clusterCenters.map(_.toArray.map(_.toFloat)))
+    val pts = vecs.collect().map(_.getSeq[Float](0).toArray)
+    Model(localKMeans(pts, k, seed, maxIter))
+  }
+
+  /** Seeded multithreaded Lloyd's on the driver. Deterministic for a
+    * given input order: random init from the seed, fixed chunking,
+    * per-chunk partial sums merged in chunk order (no reduction-order
+    * nondeterminism in the float accumulation). Empty clusters keep
+    * their previous centroid. */
+  private[operators] def localKMeans(pts: Array[Array[Float]], k: Int,
+                                     seed: Long, maxIter: Int,
+                                     tol: Double = 1e-6): Array[Array[Float]] = {
+    require(pts.nonEmpty, "k-means needs at least one point")
+    val dim = pts(0).length
+    val kk = math.max(1, math.min(k, pts.length))
+    val rnd = new java.util.Random(seed)
+    // distinct random starting points; for an IVF coarse quantizer
+    // random init + Lloyd reaches the same recall as k-means|| (recall
+    // is measured downstream, never assumed)
+    val initIdx = scala.collection.mutable.LinkedHashSet.empty[Int]
+    while (initIdx.size < kk) initIdx += rnd.nextInt(pts.length)
+    var centroids = initIdx.toArray.map(i => pts(i).map(_.toDouble))
+
+    val nThreads = math.max(1, math.min(Runtime.getRuntime.availableProcessors(), 16))
+    val chunkSize = math.max(1, (pts.length + nThreads - 1) / nThreads)
+    val chunks = pts.indices.grouped(chunkSize).map(r => (r.head, r.last + 1)).toArray
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    try {
+      var iter = 0
+      var moved = Double.MaxValue
+      while (iter < maxIter && moved > tol) {
+        val cs = centroids
+        val tasks = chunks.map { case (from, until) =>
+          new java.util.concurrent.Callable[(Array[Array[Double]], Array[Long])] {
+            def call(): (Array[Array[Double]], Array[Long]) = {
+              val sums = Array.fill(kk)(new Array[Double](dim))
+              val counts = new Array[Long](kk)
+              var p = from
+              while (p < until) {
+                val v = pts(p)
+                var best = 0
+                var bestD = Double.MaxValue
+                var c = 0
+                while (c < kk) {
+                  val ctr = cs(c)
+                  var d = 0.0
+                  var i = 0
+                  val lim = math.min(ctr.length, v.length)
+                  while (i < lim) { val t = ctr(i) - v(i); d += t * t; i += 1 }
+                  if (d < bestD) { bestD = d; best = c }
+                  c += 1
+                }
+                val s = sums(best)
+                var i = 0
+                val lim = math.min(dim, v.length)
+                while (i < lim) { s(i) += v(i); i += 1 }
+                counts(best) += 1
+                p += 1
+              }
+              (sums, counts)
+            }
+          }
+        }
+        val results = pool.invokeAll(java.util.Arrays.asList(tasks: _*))
+        val sums = Array.fill(kk)(new Array[Double](dim))
+        val counts = new Array[Long](kk)
+        // merge in fixed chunk order → deterministic float accumulation
+        for (f <- 0 until results.size()) {
+          val (ps, pc) = results.get(f).get()
+          var c = 0
+          while (c < kk) {
+            var i = 0
+            while (i < dim) { sums(c)(i) += ps(c)(i); i += 1 }
+            counts(c) += pc(c)
+            c += 1
+          }
+        }
+        moved = 0.0
+        val next = Array.tabulate(kk) { c =>
+          if (counts(c) == 0L) centroids(c)
+          else {
+            val ctr = new Array[Double](dim)
+            var i = 0
+            var d = 0.0
+            while (i < dim) {
+              ctr(i) = sums(c)(i) / counts(c)
+              val t = ctr(i) - centroids(c)(i); d += t * t
+              i += 1
+            }
+            moved = math.max(moved, d)
+            ctr
+          }
+        }
+        centroids = next
+        iter += 1
+      }
+    } finally pool.shutdown()
+    centroids.map(_.map(_.toFloat))
   }
 
   /** Assign a cluster id per row (row-local; centroids ride the
