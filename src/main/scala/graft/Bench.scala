@@ -95,11 +95,12 @@ object Bench {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val par = sys.env.getOrElse("SPARK_GRAFT_PAR", "8").toInt
     // longest-first for the concurrent pass (wall = max, not sum) —
-    // refreshed from the round-3 sequential measurements
-    val heavy = Seq("minhash_bands", "rag_sources", "ann_ivf",
-      "forecast_pipeline", "s2_jdbc", "a8_interpolate", "minhash_neardups",
-      "index_append_dedup", "a9_longest_run", "a13_metrics", "ingest_bulk",
-      "multimodal_decode", "simhash_sketch", "embed_neardups")
+    // refreshed from the round-4 sequential measurements (post
+    // driver-side IVF train: ann_ivf left the top tier)
+    val heavy = Seq("simhash_neardups", "contamination", "rag_sources",
+      "forecast_pipeline", "minhash_neardups", "index_append_dedup",
+      "s11_crud", "salted_join", "s10_append", "s2_jdbc", "ingest_bulk",
+      "minhash_bands", "a8_interpolate", "a9_longest_run")
 
     warmup(spark, sfDir)
     val (wallPar, outPar) = timeSuite(spark, sfDir, par, heavy)
