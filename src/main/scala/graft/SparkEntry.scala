@@ -405,7 +405,7 @@ object SparkEntry {
       tp(s, d, "documents")
         .select(col("doc_id"), Dedup.simhash(col("text")).as("sketch"))
         .orderBy("doc_id")),
-    "minhash_bands" -> ((s, d) => { // oracle-exempt: JVM-hash minhash
+    "minhash_bands" -> ((s, d) => { // pinned VALUES oracle (deterministic JVM-hash minhash)
       val bandsUdf = Dedup.lshBandBucketsUdf(3, 16, 4)
       tp(s, d, "documents")
         .select(col("doc_id"), explode(bandsUdf(col("text"))).as("b"))
@@ -838,8 +838,11 @@ object SparkEntry {
         .orderBy("media_type")
     }),
     "ann_ivf" -> ((s, d) => {
-      // IVF probe vs exact: recall@10 of the nprobe=4/16 path
-      // (oracle-exempt: k-means partitioning varies across runs)
+      // IVF probe vs exact: recall@10 of the nprobe=4/16 path. The
+      // seeded constant-chunked driver-side fit is deterministic, so
+      // the recall is pinned as a VALUES oracle (uniform random
+      // vectors are IVF's worst case — 0.3 at 4/16 probes at sf0.01;
+      // the rerank inside probed clusters is exact)
       val emb = t(s, d, "embeddings").filter(col("vec_id") =!= 0)
       val q = queryVec(s, d, 0L)
       // maxIter 10 / 5k-sample train: IVF coarse quantizers converge
@@ -876,7 +879,7 @@ object SparkEntry {
               size(array_union(col("sha"), col("shb")))), 4).as("jaccard"))
         .orderBy("id_a")
     }),
-    "simhash_neardups" -> ((s, d) => // exempt: JVM 64-bit sketch bands
+    "simhash_neardups" -> ((s, d) => // pinned VALUES oracle (deterministic 64-bit sketch bands)
       Dedup.simhashNearDups(
         tp(s, d, "documents"), "doc_id", "text", maxHamming = 3)
         .agg(count(lit(1)).as("n_pairs"),
@@ -915,13 +918,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_contaminated"),
           coalesce(sum("n_collisions"), lit(0L)).cast("bigint").as("n_collisions"))
     }),
-    "minhash_neardups" -> ((s, d) => // exempt: xxhash band buckets
+    "minhash_neardups" -> ((s, d) => // pinned VALUES oracle (deterministic band buckets)
       Dedup.minhashNearDups(
         tp(s, d, "documents").filter(col("doc_id") < 300), "doc_id", "text",
         shingleN = 3, numHashes = 16, bands = 8, threshold = 0.5)
         .agg(count(lit(1)).as("n_pairs"),
           round(avg("jaccard"), 4).as("avg_jaccard"))),
-    "embed_neardups" -> ((s, d) =>
+    "embed_neardups" -> ((s, d) => // pinned VALUES oracle (sign-LSH, deterministic)
       Dedup.embeddingNearDups(
         t(s, d, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding",
         dim = 64, bits = 8, threshold = 0.8)
@@ -1404,6 +1407,21 @@ object SparkEntry {
       "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start, count(*) AS n " +
       "FROM w WHERE wm IS NULL OR ts >= wm GROUP BY 1 ORDER BY 1"),
     "index_append_dedup" -> ("SELECT * FROM (VALUES (CAST(10 AS BIGINT), CAST(7 AS BIGINT))) AS t(n_raw, n_deduped)"),
+    // The five sketch queries below pin their sf0.01 outputs as VALUES
+    // oracles: every value derives from deterministic JVM arithmetic
+    // (mix64 hashing; the seeded constant-chunked k-means fit), so an
+    // exact-value regression gate is strictly stronger than the
+    // rows-only check they had. mix64 itself has no tractable SQL
+    // form, which is why these are pins rather than recomputations.
+    "minhash_bands" -> ("SELECT * FROM (VALUES (CAST(0 AS INT), CAST(480 AS BIGINT), CAST(500 AS BIGINT)), " +
+      "(CAST(1 AS INT), CAST(478 AS BIGINT), CAST(500 AS BIGINT)), " +
+      "(CAST(2 AS INT), CAST(480 AS BIGINT), CAST(500 AS BIGINT)), " +
+      "(CAST(3 AS INT), CAST(477 AS BIGINT), CAST(500 AS BIGINT))) " +
+      "AS t(band, n_buckets, n_docs) ORDER BY band"),
+    "minhash_neardups" -> ("SELECT * FROM (VALUES (CAST(7 AS BIGINT), CAST(0.9771 AS DOUBLE))) AS t(n_pairs, avg_jaccard)"),
+    "simhash_neardups" -> ("SELECT * FROM (VALUES (CAST(21 AS BIGINT), CAST(1.6667 AS DOUBLE))) AS t(n_pairs, avg_hamming)"),
+    "embed_neardups" -> ("SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(NULL AS DOUBLE))) AS t(n_pairs, avg_cos)"),
+    "ann_ivf" -> ("SELECT * FROM (VALUES (CAST(10 AS INT), CAST(4 AS INT), CAST(16 AS INT), CAST(0.3 AS DOUBLE))) AS t(k, nprobe, clusters, recall)"),
     "from_json_props" -> ("SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k, " +
       "CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS max_k " +
       "FROM events GROUP BY event_type ORDER BY event_type"),

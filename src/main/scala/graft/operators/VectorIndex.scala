@@ -106,8 +106,12 @@ object VectorIndex {
     while (initIdx.size < kk) initIdx += rnd.nextInt(pts.length)
     var centroids = initIdx.toArray.map(i => pts(i).map(_.toDouble))
 
-    val nThreads = math.max(1, math.min(Runtime.getRuntime.availableProcessors(), 16))
-    val chunkSize = math.max(1, (pts.length + nThreads - 1) / nThreads)
+    // chunk count is a CONSTANT, not a core count: partial sums merge
+    // in chunk order, so a machine-dependent chunking would change the
+    // float accumulation order and make centroids machine-dependent
+    val nChunks = 16
+    val nThreads = math.max(1, math.min(Runtime.getRuntime.availableProcessors(), nChunks))
+    val chunkSize = math.max(1, (pts.length + nChunks - 1) / nChunks)
     val chunks = pts.indices.grouped(chunkSize).map(r => (r.head, r.last + 1)).toArray
     val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
     try {
