@@ -401,7 +401,7 @@ object SparkEntry {
       tp(s, d, "documents")
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
-    "simhash_sketch" -> ((s, d) => // oracle-exempt: JVM 64-bit sketch
+    "simhash_sketch" -> ((s, d) => // pinned VALUES oracle (PinnedOracles)
       tp(s, d, "documents")
         .select(col("doc_id"), Dedup.simhash(col("text")).as("sketch"))
         .orderBy("doc_id")),
@@ -924,11 +924,25 @@ object SparkEntry {
         shingleN = 3, numHashes = 16, bands = 8, threshold = 0.5)
         .agg(count(lit(1)).as("n_pairs"),
           round(avg("jaccard"), 4).as("avg_jaccard"))),
-    "embed_neardups" -> ((s, d) => // pinned VALUES oracle (sign-LSH, deterministic)
-      Dedup.embeddingNearDups(
-        t(s, d, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding",
+    "embed_neardups" -> ((s, d) => { // pinned VALUES oracle (sign-LSH, deterministic)
+      // The raw embeddings are random, so no pair clears the cosine
+      // threshold and a bare run would pin n_pairs = 0 — a dedup query
+      // that asserts it finds nothing. Plant near-duplicates instead: a
+      // ±0.3% per-component rescale of each vector (cosine ≈ 1 to the
+      // original) under a shifted id, then assert the sign-LSH bucket
+      // join actually recovers them (n_planted_recovered of 200).
+      val base = t(s, d, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"))
+      val planted = base.select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * (lit(1.0f) + (pmod(i, lit(7)) - lit(3)).cast("float") * lit(0.001f)))
+          .as("embedding"))
+      Dedup.embeddingNearDups(base.unionByName(planted), "vec_id", "embedding",
         dim = 64, bits = 8, threshold = 0.8)
-        .agg(count(lit(1)).as("n_pairs"), round(avg("cos"), 4).as("avg_cos"))),
+        .agg(count(lit(1)).as("n_pairs"), round(avg("cos"), 4).as("avg_cos"),
+          coalesce(sum(when(col("idB") - col("idA") === 1000, 1L).otherwise(0L)),
+            lit(0L)).as("n_planted_recovered"))
+    }),
   )
 
   /** Round-3 additions: sink/CRUD surfaces (S10/S11), SSE framing +
@@ -1420,8 +1434,11 @@ object SparkEntry {
       "AS t(band, n_buckets, n_docs) ORDER BY band"),
     "minhash_neardups" -> ("SELECT * FROM (VALUES (CAST(7 AS BIGINT), CAST(0.9771 AS DOUBLE))) AS t(n_pairs, avg_jaccard)"),
     "simhash_neardups" -> ("SELECT * FROM (VALUES (CAST(21 AS BIGINT), CAST(1.6667 AS DOUBLE))) AS t(n_pairs, avg_hamming)"),
-    "embed_neardups" -> ("SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(NULL AS DOUBLE))) AS t(n_pairs, avg_cos)"),
+    "embed_neardups" -> ("SELECT * FROM (VALUES (CAST(199 AS BIGINT), CAST(1.0 AS DOUBLE), " +
+      "CAST(199 AS BIGINT))) AS t(n_pairs, avg_cos, n_planted_recovered)"),
     "ann_ivf" -> ("SELECT * FROM (VALUES (CAST(10 AS INT), CAST(4 AS INT), CAST(16 AS INT), CAST(0.3 AS DOUBLE))) AS t(k, nprobe, clusters, recall)"),
+    // 500-row pin lives in its own file (PinnedOracles.scala)
+    "simhash_sketch" -> PinnedOracles.simhashSketchSql,
     "from_json_props" -> ("SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k, " +
       "CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS max_k " +
       "FROM events GROUP BY event_type ORDER BY event_type"),
