@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Relational, TextAnalysis, TimeSeriesOps, VectorSearch}
+import graft.operators.{Dedup, Multimodal, Pii, Relational, TextAnalysis, TimeSeriesOps, VectorSearch}
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions
 import graft.fixtures.Fixtures
@@ -821,6 +821,39 @@ object SparkEntry {
         .withColumn("q", TextAnalysis.qualityScore(col("text")))
         .groupBy("source").agg(round(avg("q"), 4).as("avg_quality"))
         .orderBy("source")),
+    "repetition_stats" -> ((s, d) =>
+      tp(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.repetition(col("text")).as("r"))
+        .select(col("doc_id"), col("r.n_tokens").as("n_tokens"),
+          round(col("r.distinct_ratio"), 4).as("distinct_ratio"),
+          round(col("r.top2_frac"), 4).as("top2_frac"),
+          round(col("r.dup2_frac"), 4).as("dup2_frac"),
+          round(col("r.dup3_frac"), 4).as("dup3_frac"))
+        .orderBy("doc_id")),
+    "pii_scrub" -> ((s, d) => {
+      // the synthetic corpus carries no PII, so plant deterministic
+      // emails/phones/URLs keyed off doc_id, then verify detection
+      // counts and the exact masked text (md5) against the oracle
+      val withPii = tp(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@example.com for access"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" call +82-10-"),
+              format_string("%04d", col("doc_id") % 10000),
+              lit("-1234"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" see https://data.example.org/doc/"), col("doc_id"),
+              lit(" for details"))).otherwise(lit(""))).as("t"))
+      withPii.select(col("doc_id"),
+          Pii.emailCount(col("t")).as("n_emails"),
+          Pii.phoneCount(col("t")).as("n_phones"),
+          Pii.urlCount(col("t")).as("n_urls"),
+          length(Pii.mask(col("t"))).cast("bigint").as("masked_len"),
+          md5(Pii.mask(col("t"))).as("masked_md5"))
+        .orderBy("doc_id")
+    }),
     "multimodal_decode" -> ((s, d) => {
       val assets = tp(s, d, "documents")
         .select(col("doc_id").as("asset_id"),
@@ -1183,6 +1216,42 @@ object SparkEntry {
       "least(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','is','a','in','that'))) AS DOUBLE) / len(toks) END * 4.0, 1.0) * 0.3 + " +
       "greatest(0.0, 1.0 - CAST(punct AS DOUBLE) / len * 5.0 - CAST(digit AS DOUBLE) / len * 2.0) * 0.4), 6) END AS q FROM t) " +
       "SELECT source, round(avg(q), 4) AS avg_quality FROM q GROUP BY source ORDER BY source"),
+    // real oracle for the Gopher-style repetition metrics: n-gram
+    // tables rebuilt with list comprehensions over the same \s+
+    // tokenization (1-based list indexing; range(a,b) is [a,b))
+    "repetition_stats" -> ("WITH toks AS (SELECT doc_id, " +
+      "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS l FROM documents), " +
+      "base AS (SELECT doc_id, len(l) AS n_tokens, len(list_distinct(l)) AS n_distinct, " +
+      "list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) AS g2, " +
+      "list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS g3 FROM toks), " +
+      "c2 AS (SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id, unnest(g2) AS g FROM base) GROUP BY doc_id, g), " +
+      "s2 AS (SELECT doc_id, max(c) AS top_c, coalesce(sum(c) FILTER (WHERE c > 1), 0) AS dup_c, sum(c) AS tot FROM c2 GROUP BY doc_id), " +
+      "c3 AS (SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id, unnest(g3) AS g FROM base) GROUP BY doc_id, g), " +
+      "s3 AS (SELECT doc_id, coalesce(sum(c) FILTER (WHERE c > 1), 0) AS dup_c, sum(c) AS tot FROM c3 GROUP BY doc_id) " +
+      "SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens, " +
+      "round(CASE WHEN b.n_tokens = 0 THEN 0.0 ELSE CAST(b.n_distinct AS DOUBLE) / b.n_tokens END, 4) AS distinct_ratio, " +
+      "round(CASE WHEN coalesce(s2.tot, 0) = 0 THEN 0.0 ELSE CAST(coalesce(s2.top_c, 0) AS DOUBLE) / s2.tot END, 4) AS top2_frac, " +
+      "round(CASE WHEN coalesce(s2.tot, 0) = 0 THEN 0.0 ELSE CAST(s2.dup_c AS DOUBLE) / s2.tot END, 4) AS dup2_frac, " +
+      "round(CASE WHEN coalesce(s3.tot, 0) = 0 THEN 0.0 ELSE CAST(s3.dup_c AS DOUBLE) / s3.tot END, 4) AS dup3_frac " +
+      "FROM base b LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id) ORDER BY b.doc_id"),
+    // real oracle for PII scrub: same deterministic injection, same
+    // RE2-compatible patterns (DuckDB regexp_replace needs the 'g'
+    // flag; Spark's is global by default)
+    "pii_scrub" -> ("WITH aug AS (SELECT doc_id, text || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com for access' ELSE '' END || " +
+      "CASE WHEN doc_id % 4 = 0 THEN ' call +82-10-' || printf('%04d', doc_id % 10000) || '-1234' ELSE '' END || " +
+      "CASE WHEN doc_id % 5 = 0 THEN ' see https://data.example.org/doc/' || doc_id || ' for details' ELSE '' END AS t " +
+      "FROM documents), " +
+      "m AS (SELECT doc_id, t, regexp_replace(regexp_replace(regexp_replace(t, " +
+      "'https?://[^\\s]+', '[URL]', 'g'), " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), " +
+      "'\\+[0-9]{1,3}-[0-9]{2,4}-[0-9]{3,4}-[0-9]{4}', '[PHONE]', 'g') AS masked FROM aug) " +
+      "SELECT doc_id, " +
+      "CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, " +
+      "CAST(len(regexp_extract_all(t, '\\+[0-9]{1,3}-[0-9]{2,4}-[0-9]{3,4}-[0-9]{4}')) AS BIGINT) AS n_phones, " +
+      "CAST(len(regexp_extract_all(t, 'https?://[^\\s]+')) AS BIGINT) AS n_urls, " +
+      "CAST(length(masked) AS BIGINT) AS masked_len, md5(masked) AS masked_md5 " +
+      "FROM m ORDER BY doc_id"),
     "j1_equijoin" -> ("SELECT c.c_mktsegment AS segment, count(*) AS n_orders, round(sum(o.o_totalprice),2) AS revenue " +
       "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY segment ORDER BY segment"),
     "j2_multiway" -> ("SELECT r_name, count(*) AS n_customers FROM customer JOIN nation ON c_nationkey = n_nationkey " +

@@ -119,6 +119,68 @@ object TextAnalysis {
   })
   def qualityScore(text: Column): Column = qualityUdf(text)
 
+  /** Gopher-style repetition metrics for boilerplate filtering:
+    * distinct-token ratio, the most-frequent-2-gram's share of all
+    * 2-grams, and the fraction of 2-/3-gram occurrences whose gram
+    * repeats within the document. High dup/top fractions flag
+    * machine-generated or boilerplate text a training mix should
+    * drop (Rae et al. 2021, "Scaling Language Models", §A1.1 —
+    * public Gopher filtering rules). One compiled pass builds every
+    * n-gram table — row-local, embarrassingly parallel, no shuffle;
+    * the explode+window formulation would shuffle each doc's grams. */
+  private case class RepStats(n_tokens: Long, distinct_ratio: Double,
+                              top2_frac: Double, dup2_frac: Double,
+                              dup3_frac: Double)
+
+  private val repetitionUdf = udf((text: String) => {
+    if (text == null) RepStats(0L, 0.0, 0.0, 0.0, 0.0)
+    else {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val n = toks.length
+      // (top occurrence count, occurrences of repeated grams, total grams)
+      def gramStats(k: Int): (Int, Int, Int) = {
+        val total = math.max(n - k + 1, 0)
+        val m = new java.util.HashMap[String, Int]()
+        var i = 0
+        while (i < total) {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var j = 1
+          while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+          m.merge(sb.toString, 1, Integer.sum _)
+          i += 1
+        }
+        var top = 0; var dup = 0
+        m.values.forEach { c =>
+          if (c > top) top = c
+          if (c > 1) dup += c
+        }
+        (top, dup, total)
+      }
+      val (top2, dup2, n2) = gramStats(2)
+      val (_, dup3, n3) = gramStats(3)
+      val distinct = {
+        val set = new java.util.HashSet[String]()
+        toks.foreach(set.add)
+        set.size
+      }
+      RepStats(
+        n.toLong,
+        if (n == 0) 0.0 else distinct.toDouble / n,
+        if (n2 == 0) 0.0 else top2.toDouble / n2,
+        if (n2 == 0) 0.0 else dup2.toDouble / n2,
+        if (n3 == 0) 0.0 else dup3.toDouble / n3)
+    }
+  })
+
+  /** Struct of repetition metrics; see `repetitionUdf`. */
+  def repetition(text: Column): Column = repetitionUdf(text)
+
+  /** Keep-predicate from the repetition metrics (Gopher-ish policy
+    * thresholds: drop if the top 2-gram covers >20% of 2-grams or
+    * >50% of 3-gram occurrences repeat). */
+  def repetitionKeep(rep: Column): Column =
+    rep.getField("top2_frac") <= 0.2 && rep.getField("dup3_frac") <= 0.5
+
   /** Per-document stat projection used by the corpus-stats queries. */
   def docStats(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)))

@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PiiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String): (Long, Long, Long, String) = {
+    val r = Seq(Tuple1(text)).toDF("t")
+      .select(Pii.emailCount(col("t")).as("e"), Pii.phoneCount(col("t")).as("p"),
+        Pii.urlCount(col("t")).as("u"), Pii.mask(col("t")).as("m"))
+      .as[(Long, Long, Long, String)].collect().head
+    r
+  }
+
+  test("detects and masks each PII type with typed placeholders") {
+    val (e, p, u, m) = one(
+      "mail a.b+c@sub.example.co.kr or call +82-10-1234-5678, docs at " +
+        "https://example.org/a?b=1 thanks")
+    assert((e, p, u) == (1L, 1L, 1L))
+    assert(m == "mail [EMAIL] or call [PHONE], docs at [URL] thanks")
+  }
+
+  test("counts multiple occurrences and leaves clean text untouched") {
+    val (e, _, _, m) = one("x@y.io then z@w.ai")
+    assert(e == 2L && m == "[EMAIL] then [EMAIL]")
+    val clean = "no personal data in this perfectly ordinary sentence 12-34"
+    assert(one(clean) == ((0L, 0L, 0L, clean)))
+  }
+
+  test("an email inside a URL query string masks as URL, not half-email") {
+    val (_, _, u, m) = one("see https://t.co/q?mail=a@b.com end")
+    assert(u == 1L)
+    assert(m == "see [URL] end")
+  }
+}
