@@ -976,6 +976,32 @@ object SparkEntry {
           coalesce(sum(when(col("idB") - col("idA") === 1000, 1L).otherwise(0L)),
             lit(0L)).as("n_planted_recovered"))
     }),
+    "dedup_clusters" -> ((s, d) => {
+      // end-to-end dup clustering: LSH candidate pairs → exact verify →
+      // connected components → canonical id (cluster min). The corpus
+      // plants exact copies (+1000 for even ids, +2000 for ids % 4),
+      // and no natural pair clears jaccard 0.9 (measured max 0.03 at
+      // sf0.01) while identical texts always collide in every band, so
+      // the cluster set provably equals DuckDB's GROUP BY text — a
+      // real oracle through a completely different algorithm.
+      val base = tp(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      val corpus = base
+        .unionByName(base.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+        .unionByName(base.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 2000).as("doc_id"), col("text")))
+      val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 8, threshold = 0.9)
+      val cc = Dedup.connectedComponents(
+        pairs.select(col("idA").as("src"), col("idB").as("dst")))
+      corpus.select(col("doc_id").as("id"))
+        .join(cc, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("cluster"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"), max("id").as("max_id"))
+        .orderBy("cluster")
+    }),
   )
 
   /** Round-3 additions: sink/CRUD surfaces (S10/S11), SSE framing +
@@ -1505,6 +1531,16 @@ object SparkEntry {
     "simhash_neardups" -> ("SELECT * FROM (VALUES (CAST(21 AS BIGINT), CAST(1.6667 AS DOUBLE))) AS t(n_pairs, avg_hamming)"),
     "embed_neardups" -> ("SELECT * FROM (VALUES (CAST(199 AS BIGINT), CAST(1.0 AS DOUBLE), " +
       "CAST(199 AS BIGINT))) AS t(n_pairs, avg_cos, n_planted_recovered)"),
+    // real oracle for LSH→connected-components clustering: identical
+    // planting, but clusters recomputed as exact-content groups (the
+    // two are provably equal — see the query comment)
+    "dedup_clusters" -> ("WITH corpus AS (" +
+      "SELECT doc_id, text FROM documents WHERE doc_id < 100 " +
+      "UNION ALL SELECT doc_id + 1000, text FROM documents WHERE doc_id < 100 AND doc_id % 2 = 0 " +
+      "UNION ALL SELECT doc_id + 2000, text FROM documents WHERE doc_id < 100 AND doc_id % 4 = 0) " +
+      "SELECT min(doc_id) AS cluster, CAST(count(*) AS BIGINT) AS n_members, " +
+      "CAST(max(doc_id) AS BIGINT) AS max_id " +
+      "FROM corpus GROUP BY text ORDER BY cluster"),
     "ann_ivf" -> ("SELECT * FROM (VALUES (CAST(10 AS INT), CAST(4 AS INT), CAST(16 AS INT), CAST(0.3 AS DOUBLE))) AS t(k, nprobe, clusters, recall)"),
     // 500-row pin lives in its own file (PinnedOracles.scala)
     "simhash_sketch" -> PinnedOracles.simhashSketchSql,

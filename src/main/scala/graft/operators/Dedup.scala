@@ -362,4 +362,51 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .dropDuplicates("idA", "idB")
   }
+
+  /** Connected components over a near-dup pair graph by iterative
+    * min-label propagation: every vertex starts labeled with its own
+    * id; each round takes the min of its label and its neighbors'
+    * labels; at fixpoint the label is the component's minimum id —
+    * the natural canonical-document choice for a dedup cluster.
+    *
+    * Scale shape: each round is one shuffle (edge–label equi-join +
+    * groupBy-min) and converges in O(component diameter) rounds —
+    * near-dup clusters are star/clique-like, so 2-3 rounds in
+    * practice; `maxIter` bounds pathological chains (the
+    * large-star/small-star contraction of Kiveris et al. 2014 gets
+    * O(log n) rounds if ever needed). Per-round `localCheckpoint`
+    * truncates the growing lineage — without it the plan doubles
+    * every iteration; the convergence test is a scalar count, not a
+    * data collect. Returns (id, label). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list once — it feeds every round's join,
+    // and an upstream LSH pipeline would otherwise re-run per round
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var prevCached: DataFrame = null
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nmin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(sym("src").as("nid")).agg(min("label").as("nmin"))
+      val next = labels.join(nmin, labels("id") === nmin("nid"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("next"))
+        .persist()
+      // one action per round: materializes `next` into the cache AND
+      // returns the changed-label count for the convergence test
+      val changed = next
+        .agg(coalesce(sum(when(col("next") < col("label"), 1L)), lit(0L)))
+        .head().getLong(0)
+      if (prevCached != null) prevCached.unpersist(false)
+      prevCached = next
+      labels = next.select(col("id"), col("next").as("label"))
+      converged = changed == 0L
+      iter += 1
+    }
+    labels
+  }
 }
