@@ -830,6 +830,35 @@ object SparkEntry {
           round(col("r.dup2_frac"), 4).as("dup2_frac"),
           round(col("r.dup3_frac"), 4).as("dup3_frac"))
         .orderBy("doc_id")),
+    "lm_score" -> ((s, d) =>
+      TextAnalysis.corpusLmScore(tp(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_logp"), 4).as("avg_logp"))
+        .orderBy("doc_id")),
+    "domain_filter" -> ((s, d) => {
+      // source-domain blocklist filter: assign each doc a deterministic
+      // URL, extract the host, and drop blocklisted domains with a
+      // BROADCAST left_anti join (a blocklist is always tiny next to a
+      // 100 TB corpus; isin() would inline it into the plan instead of
+      // keeping it a data-driven table)
+      import s.implicits._
+      val hosts = array(
+        lit("news.example.com"), lit("blog.example.org"),
+        lit("spam.example.net"), lit("docs.example.io"),
+        lit("ads.tracker.example"), lit("wiki.example.edu"),
+        lit("shop.example.co"))
+      val urls = tp(s, d, "documents").select(col("doc_id"),
+        concat(lit("https://"),
+          element_at(hosts, (col("doc_id") % 7).cast("int") + 1),
+          lit("/doc/"), col("doc_id")).as("url"))
+      val blocklist = Seq("spam.example.net", "ads.tracker.example")
+        .toDF("domain")
+      urls.withColumn("domain", Pii.domain(col("url")))
+        .join(broadcast(blocklist), Seq("domain"), "left_anti")
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+        .orderBy("domain")
+    }),
     "pii_scrub" -> ((s, d) => {
       // the synthetic corpus carries no PII, so plant deterministic
       // emails/phones/URLs keyed off doc_id, then verify detection
@@ -1260,6 +1289,28 @@ object SparkEntry {
       "round(CASE WHEN coalesce(s2.tot, 0) = 0 THEN 0.0 ELSE CAST(s2.dup_c AS DOUBLE) / s2.tot END, 4) AS dup2_frac, " +
       "round(CASE WHEN coalesce(s3.tot, 0) = 0 THEN 0.0 ELSE CAST(s3.dup_c AS DOUBLE) / s3.tot END, 4) AS dup3_frac " +
       "FROM base b LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id) ORDER BY b.doc_id"),
+    // real oracle for the corpus-unigram LM score: same tokenization,
+    // same cnt/total log-prob (both engines do IEEE double division
+    // and natural log on identical integer counts)
+    "lm_score" -> ("WITH toks AS (SELECT doc_id, unnest(list_filter(" +
+      "string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS tok FROM documents), " +
+      "v AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok), " +
+      "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v) " +
+      "SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "round(avg(ln(CAST(v.cnt AS DOUBLE) / tot.total)), 4) AS avg_logp " +
+      "FROM toks t JOIN v USING (tok) CROSS JOIN tot " +
+      "GROUP BY t.doc_id ORDER BY t.doc_id"),
+    // real oracle for the domain blocklist filter: same URL
+    // assignment (1-based list indexing both sides), same host regex,
+    // blocklist as NOT IN
+    "domain_filter" -> ("WITH u AS (SELECT doc_id, 'https://' || " +
+      "(['news.example.com','blog.example.org','spam.example.net','docs.example.io'," +
+      "'ads.tracker.example','wiki.example.edu','shop.example.co'])[CAST(doc_id % 7 AS INT) + 1] " +
+      "|| '/doc/' || doc_id AS url FROM documents), " +
+      "dm AS (SELECT doc_id, regexp_extract(url, 'https?://([^/\\s:?#]+)', 1) AS domain FROM u) " +
+      "SELECT domain, CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS min_doc " +
+      "FROM dm WHERE domain NOT IN ('spam.example.net', 'ads.tracker.example') " +
+      "GROUP BY domain ORDER BY domain"),
     // real oracle for PII scrub: same deterministic injection, same
     // RE2-compatible patterns (DuckDB regexp_replace needs the 'g'
     // flag; Spark's is global by default)

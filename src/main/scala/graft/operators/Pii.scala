@@ -30,6 +30,11 @@ object Pii {
   def urlCount(text: Column): Column =
     size(regexp_extract_all(text, lit(urlRe), lit(0))).cast("bigint")
 
+  /** Host part of an http(s) URL (up to the first `/ : ? #`), for
+    * domain-level filtering against block/allow lists. */
+  def domain(url: Column): Column =
+    regexp_extract(url, "https?://([^/\\s:?#]+)", 1)
+
   /** Replace every match with a typed placeholder. URLs first so an
     * address inside a query string is not half-masked by the email
     * pass; each `regexp_replace` is global. */

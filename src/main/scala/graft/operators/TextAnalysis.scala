@@ -181,6 +181,28 @@ object TextAnalysis {
   def repetitionKeep(rep: Column): Column =
     rep.getField("top2_frac") <= 0.2 && rep.getField("dup3_frac") <= 0.5
 
+  /** Corpus-unigram LM score: average natural-log probability of a
+    * document's tokens under the corpus's own unigram distribution —
+    * the classic cheap LM quality filter (docs far below the corpus
+    * mean read as noise; far above as boilerplate). Two passes:
+    * (1) one shuffle builds the unigram table, (2) tokens join the
+    * BROADCAST vocab (a unigram table is tiny next to its corpus) so
+    * the scoring pass is shuffle-free on the 100 TB side except the
+    * final per-doc agg. No smoothing: the vocab is built from the
+    * same corpus, so OOV is impossible by construction. */
+  def corpusLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").as("total"))
+    toks.join(broadcast(vocab), "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log(col("cnt") / col("total"))).as("avg_logp"))
+  }
+
   /** Per-document stat projection used by the corpus-stats queries. */
   def docStats(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)))
