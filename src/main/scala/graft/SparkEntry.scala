@@ -1122,6 +1122,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_nations"))
         .orderBy("region_key")
     }),
+    "st_dedup" -> ((s, d) => {
+      // §2.9: streaming duplicate-arrival dedup as a batch oracle.
+      // At-least-once sources re-deliver events; the engine keeps the
+      // FIRST arrival per event_id (dropDuplicatesWithinWatermark
+      // semantics while state is live). Re-deliveries are synthesized
+      // for every 50th event at a later arrival position with the same
+      // scrambled-arrival formula st_watermark uses; the keyed
+      // row_number window is the batch stand-in for the stream's
+      // per-key state store. StreamingDedupSpec drives the real
+      // withWatermark + dropDuplicatesWithinWatermark path.
+      val e = t(s, d, "events").filter(col("user_id") < 8)
+        .select(col("event_id"), col("user_id"))
+      val arrivals = e.withColumn("_src", lit(0))
+        .unionByName(e.filter(col("event_id") % 50 === 0)
+          .withColumn("_src", lit(1)))
+        .withColumn("_arr",
+          (col("event_id") * 2654435761L) % 1000003L + col("_src") * 2000000L)
+      val w = Window.partitionBy(col("event_id")).orderBy(col("_arr"))
+      arrivals.withColumn("rn", row_number().over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_arrivals"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_unique"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"))
+        .orderBy("user_id")
+    }),
     "st_watermark" -> ((s, d) => {
       // §2.9: watermarked tumbling event-time window as a batch oracle.
       // The testdata arrives ts-sorted, so out-of-order arrival is
@@ -1562,6 +1587,15 @@ object SparkEntry {
       "(2, 'u1', 20),(3, 'u2', 99),(4, 'u2', 40)) AS t(id, owner, qty) ORDER BY id"),
     "s2_jdbc" -> ("SELECT CAST(n_regionkey AS BIGINT) AS region_key, count(*) AS n_nations " +
       "FROM nation WHERE n_regionkey < 3 GROUP BY 1 ORDER BY 1"),
+    "st_dedup" -> ("WITH e AS (SELECT event_id, user_id FROM events WHERE user_id < 8), " +
+      "a AS (SELECT event_id, user_id, 0 AS src FROM e " +
+      "UNION ALL SELECT event_id, user_id, 1 FROM e WHERE event_id % 50 = 0), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY event_id " +
+      "ORDER BY (event_id * 2654435761) % 1000003 + src * 2000000) AS rn FROM a) " +
+      "SELECT user_id, count(*) AS n_arrivals, " +
+      "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique, " +
+      "CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped " +
+      "FROM r GROUP BY user_id ORDER BY user_id"),
     "st_watermark" -> ("WITH a AS (SELECT event_id, ts, (event_id * 2654435761) % 1000003 AS arr FROM events WHERE user_id < 8), " +
       "w AS (SELECT *, max(ts) OVER (ORDER BY arr, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - INTERVAL 7 DAY AS wm FROM a) " +
       "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start, count(*) AS n " +

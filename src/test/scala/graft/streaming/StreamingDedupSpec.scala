@@ -1,0 +1,32 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Real streaming path behind the st_dedup batch stand-in:
+  * withWatermark + dropDuplicatesWithinWatermark keyed on event_id. */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("re-delivered events dedup across micro-batches while state is live") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val deduped = input.toDS().toDF("event_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2025-01-01 10:$m%02d:00")
+      input.addData((1L, t(1)), (2L, t(2)))
+      q.processAllAvailable()
+      // batch 2 re-delivers event 1 inside the watermark horizon
+      input.addData((1L, t(3)), (3L, t(4)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+}
