@@ -835,6 +835,20 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           round(col("avg_logp"), 4).as("avg_logp"))
         .orderBy("doc_id")),
+    "approx_distinct" -> ((s, d) =>
+      // HLL++ sketch vs exact distinct: at 100 TB the sketch is the
+      // only single-pass no-shuffle-of-values option for cardinality;
+      // the oracle recomputes the exact side and the query asserts the
+      // sketch lands within 5% (rsd 0.02), so a drifting sketch fails
+      // the hash compare rather than passing silently
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .select(col("event_type"), col("exact_users"),
+          when(abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.05, 1L).otherwise(0L).as("within_5pct"))
+        .orderBy("event_type")),
     "domain_filter" -> ((s, d) => {
       // source-domain blocklist filter: assign each doc a deterministic
       // URL, extract the host, and drop blocklisted domains with a
@@ -1325,6 +1339,12 @@ object SparkEntry {
       "round(avg(ln(CAST(v.cnt AS DOUBLE) / tot.total)), 4) AS avg_logp " +
       "FROM toks t JOIN v USING (tok) CROSS JOIN tot " +
       "GROUP BY t.doc_id ORDER BY t.doc_id"),
+    // real oracle for the HLL sketch: DuckDB recomputes the exact
+    // distinct count; within_5pct = 1 is the sketch-accuracy claim
+    "approx_distinct" -> ("SELECT event_type, " +
+      "CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, " +
+      "CAST(1 AS BIGINT) AS within_5pct " +
+      "FROM events GROUP BY event_type ORDER BY event_type"),
     // real oracle for the domain blocklist filter: same URL
     // assignment (1-based list indexing both sides), same host regex,
     // blocklist as NOT IN

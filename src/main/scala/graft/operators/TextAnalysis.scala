@@ -195,12 +195,15 @@ object TextAnalysis {
         explode(split(lower(col(textCol)), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val total = vocab.agg(sum("cnt").as("total"))
+    // the normalizer Σcnt is just the corpus token count — one scalar,
+    // taken with a driver-side count() like the IVF centroid fit: a
+    // one-row DataFrame would join back in as a nested-loop join
+    // (constant-key equi-joins fold away), which the plan sweep bans
+    val total = toks.count()
     toks.join(broadcast(vocab), "tok")
-      .crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        avg(log(col("cnt") / col("total"))).as("avg_logp"))
+        avg(log(col("cnt") / lit(total))).as("avg_logp"))
   }
 
   /** Per-document stat projection used by the corpus-stats queries. */

@@ -74,6 +74,17 @@ class PlanSpec extends SparkSpec {
       p.contains("n_regionkey < 3"), p.take(2000))
   }
 
+  test("lm_score: vocab and total attach as broadcast hash joins (no shuffle on the token side)") {
+    val p = plan("lm_score")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("domain_filter: blocklist drops via broadcast left-anti join") {
+    val p = plan("domain_filter")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(2000))
+  }
+
   test("no registered query plans a CartesianProduct") {
     SparkEntry.queries.keys.filterNot(buildTimeExec).foreach { name =>
       val p = plan(name)
