@@ -835,6 +835,11 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           round(col("avg_logp"), 4).as("avg_logp"))
         .orderBy("doc_id")),
+    "tfidf_terms" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(tp(s, d, "documents"), "doc_id", "text", 3)
+        .select(col("doc_id"), col("rnk").cast("bigint").as("rnk"),
+          col("tok").as("term"), round(col("tfidf"), 4).as("tfidf"))
+        .orderBy("doc_id", "rnk")),
     "approx_distinct" -> ((s, d) =>
       // HLL++ sketch vs exact distinct: at 100 TB the sketch is the
       // only single-pass no-shuffle-of-values option for cardinality;
@@ -1339,6 +1344,18 @@ object SparkEntry {
       "round(avg(ln(CAST(v.cnt AS DOUBLE) / tot.total)), 4) AS avg_logp " +
       "FROM toks t JOIN v USING (tok) CROSS JOIN tot " +
       "GROUP BY t.doc_id ORDER BY t.doc_id"),
+    // real oracle for tf-idf keywords: same tokenization, same
+    // tf·ln(N/df) arithmetic, same (tfidf DESC, term) tie-break
+    "tfidf_terms" -> ("WITH toks AS (SELECT doc_id, unnest(list_filter(" +
+      "string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS tok FROM documents), " +
+      "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok), " +
+      "dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), " +
+      "n AS (SELECT count(*) AS n FROM documents), " +
+      "s AS (SELECT tf.doc_id, tf.tok, tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) AS tfidf " +
+      "FROM tf JOIN dfreq USING (tok) CROSS JOIN n), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rnk FROM s) " +
+      "SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok AS term, round(tfidf, 4) AS tfidf " +
+      "FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"),
     // real oracle for the HLL sketch: DuckDB recomputes the exact
     // distinct count; within_5pct = 1 is the sketch-accuracy claim
     "approx_distinct" -> ("SELECT event_type, " +

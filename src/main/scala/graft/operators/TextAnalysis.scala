@@ -206,6 +206,28 @@ object TextAnalysis {
         avg(log(col("cnt") / lit(total))).as("avg_logp"))
   }
 
+  /** Top-k corpus keywords per document by tf-idf (raw term count ×
+    * ln(N/df)), tie-broken by term for determinism. Shape at scale:
+    * one shuffle for tf, one small agg for df that BROADCASTS back
+    * (a document-frequency table is vocabulary-sized, tiny next to
+    * the corpus), and a per-doc window — keyed, never global. N is a
+    * driver-side scalar like lm_score's normalizer. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val n = docs.count()
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("tok"))
+    tf.join(broadcast(dfreq), "tok")
+      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Per-document stat projection used by the corpus-stats queries. */
   def docStats(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)))
