@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Composes BENCH_SCALE.json from per-scale graft.Bench artifacts.
+
+Usage: compose_scale.py <out.json> <label1>=<artifact1.json> [...]
+
+Each artifact must embed its DuckDB baseline (`duckdb_oracle.queries`)
+— graft.Bench does this when driver-side python+duckdb is available.
+Reports the real-oracle-subset ratio three ways per point: the full
+real-SQL subset (as the artifact records it), excluding the
+lambda-heavy oracles whose DuckDB recomputation is interpreter-bound
+(the most conservative slice, disclosed because that asymmetry favors
+Spark), and the round-3-comparable slice.
+(Driver-side tooling; the Scala library never depends on this.)
+"""
+import json
+import sys
+
+LAMBDA_HEAVY = ["contamination", "doc_fingerprint", "langid_confusion",
+                "quality_scores"]
+R3_EXCLUDED = ["doc_fingerprint", "langid_confusion", "quality_scores"]
+
+METHOD = (
+    "scripts/gen_scale.py replicates sf0.1 Nx (fact keys shifted "
+    "consistently, dims fixed); graft.Bench runs spark and the DuckDB "
+    "oracle on the same box minutes apart at each point; ratios use the "
+    "WARM DuckDB wall (least favorable to Spark). Single-machine "
+    "local[32]; absolute walls vary with box load (observed +/-50-80%) "
+    "but each point is internally consistent. DISCLOSURE: four oracles "
+    f"({', '.join(LAMBDA_HEAVY)}) recompute per-char/per-token semantics "
+    "via DuckDB list lambdas, which are interpreter-bound and dominate "
+    "DuckDB's wall at scale while the engine runs them as compiled JVM "
+    "UDFs. That asymmetry favors Spark, so the ratio is reported three "
+    "ways: the full real-SQL subset; excluding all four lambda-heavy "
+    "oracles (most conservative); and excluding only the three round-4 "
+    "additions (comparable to round 3's published trend)."
+)
+
+
+def subset(art, excluded):
+    sub = art.get("real_oracle_subset")
+    duck = art.get("duckdb_oracle", {}).get("queries", {})
+    if not sub or not duck:
+        return None
+    side = set(sub.get("excluded_side_effecting", []))
+    sq = art["queries"]
+    names = [n for n in sq if n in duck and n not in side
+             and n not in excluded]
+    spark_sum = sum(sq[n] for n in names)
+    duck_sum = sum(duck[n] for n in names)
+    return {"excluded": sorted(excluded),
+            "spark_seq_sum_sec": round(spark_sum, 3),
+            "duckdb_sum_sec": round(duck_sum, 3),
+            "ratio": round(spark_sum / duck_sum, 2) if duck_sum else None}
+
+
+def main():
+    out, pairs = sys.argv[1], sys.argv[2:]
+    points, trend_bits = [], {"full": [], "conservative": [], "r3": []}
+    for pair in pairs:
+        label, path = pair.split("=", 1)
+        art = json.load(open(path))
+        point = {
+            "label": label,
+            "spark_wall_par8_postwarm_sec": art.get("wall_par8_postwarm_sec"),
+            "spark_wall_seq_warm_sec": art.get("wall_seq_warm_sec"),
+            "duckdb_wall_warm_sec": art.get("duckdb_oracle", {})
+                                       .get("duckdb_wall_warm_sec"),
+            "ratio_wall_par_vs_duckdb": art.get("ratio_wall_par_vs_duckdb"),
+            "real_oracle_subset": art.get("real_oracle_subset"),
+            "subset_excl_all_lambda_heavy": subset(art, LAMBDA_HEAVY),
+            "subset_r3_comparable_excl_round4_oracles": subset(art, R3_EXCLUDED),
+            "full_artifact": art,
+        }
+        points.append(point)
+        trend_bits["full"].append(point["real_oracle_subset"]["ratio"])
+        trend_bits["conservative"].append(
+            point["subset_excl_all_lambda_heavy"]["ratio"])
+        trend_bits["r3"].append(
+            point["subset_r3_comparable_excl_round4_oracles"]["ratio"])
+
+    def arrow(xs):
+        return " -> ".join(f"{x}x" for x in xs)
+
+    trend = (
+        "real-oracle-subset ratio vs DuckDB under every slice: full "
+        f"subset {arrow(trend_bits['full'])}; most-conservative (excl "
+        f"all lambda-heavy) {arrow(trend_bits['conservative'])}; "
+        f"r3-comparable {arrow(trend_bits['r3'])}; suite par-wall ratio "
+        f"{arrow([p['ratio_wall_par_vs_duckdb'] for p in points])}"
+    )
+    json.dump({"method": METHOD, "trend": trend, "points": points},
+              open(out, "w"))
+    print(trend)
+
+
+if __name__ == "__main__":
+    main()

@@ -961,10 +961,15 @@ object SparkEntry {
         .orderBy("id_a")
     }),
     "simhash_neardups" -> ((s, d) => // pinned VALUES oracle (deterministic 64-bit sketch bands)
+      // group-level pairs between distinct sketches (sketch-identical
+      // docs collapse to a representative before banding — the
+      // clique-free 100 TB shape); n_doc_pairs reconstructs the
+      // cross-group document-pair count from the carried group sizes
       Dedup.simhashNearDups(
         tp(s, d, "documents"), "doc_id", "text", maxHamming = 3)
         .agg(count(lit(1)).as("n_pairs"),
-          round(avg("hamming"), 4).as("avg_hamming"))),
+          round(avg("hamming"), 4).as("avg_hamming"),
+          coalesce(sum(col("sizeA") * col("sizeB")), lit(0L)).as("n_doc_pairs"))),
     "mm_frames" -> ((s, d) => {
       // multimodal frame sampling: video assets → every-2nd 256-byte
       // frame via posexplode; the oracle recomputes frame counts/bytes
@@ -1650,7 +1655,7 @@ object SparkEntry {
       "(CAST(3 AS INT), CAST(477 AS BIGINT), CAST(500 AS BIGINT))) " +
       "AS t(band, n_buckets, n_docs) ORDER BY band"),
     "minhash_neardups" -> ("SELECT * FROM (VALUES (CAST(7 AS BIGINT), CAST(0.9771 AS DOUBLE))) AS t(n_pairs, avg_jaccard)"),
-    "simhash_neardups" -> ("SELECT * FROM (VALUES (CAST(21 AS BIGINT), CAST(1.6667 AS DOUBLE))) AS t(n_pairs, avg_hamming)"),
+    "simhash_neardups" -> ("SELECT * FROM (VALUES (CAST(17 AS BIGINT), CAST(2.0588 AS DOUBLE), CAST(17 AS BIGINT))) AS t(n_pairs, avg_hamming, n_doc_pairs)"),
     "embed_neardups" -> ("SELECT * FROM (VALUES (CAST(199 AS BIGINT), CAST(1.0 AS DOUBLE), " +
       "CAST(199 AS BIGINT))) AS t(n_pairs, avg_cos, n_planted_recovered)"),
     // real oracle for LSH→connected-components clustering: identical

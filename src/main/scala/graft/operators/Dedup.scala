@@ -227,22 +227,37 @@ object Dedup {
     * recall for maxHamming ≤ 3: four bands can't all absorb three
     * differing bits. (idA < idB; hot buckets capped like the other LSH
     * paths.) */
+  /** Near-dup pairs between DISTINCT sketches, each represented by its
+    * minimum id, with group sizes attached (`sizeA`/`sizeB`). Exact
+    * copies share a sketch, and a boilerplate-heavy corpus puts
+    * thousands of copies behind one sketch — banding the distinct
+    * sketches keeps the candidate join clique-free, where expanding a
+    * g-copy clique is g² rows nobody needs (group membership already
+    * encodes those pairs; measured: the 100× replicated corpus OOM'd
+    * the expanded join at ~100 M candidates and runs in seconds
+    * collapsed). Doc-level pair counts reconstruct arithmetically as
+    * Σ sizeA·sizeB cross-group + Σ C(gsize,2) within-group. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3,
                       maxBucketSize: Int = 10000): DataFrame = {
     require(maxHamming <= 3, "4-band simhash LSH only guarantees recall for hamming <= 3")
     val sk = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sk"))
-    val banded = sk.select(col("id"), col("sk"),
+    val groups = sk.groupBy("sk")
+      .agg(min("id").as("id"), count(lit(1)).as("gsize"))
+    val banded = groups.select(col("id"), col("sk"), col("gsize"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
         shiftright(col("sk"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))): _*)).as("b"))
-      .select(col("id"), col("sk"), col("b.band"), col("b.bucket"))
+      .select(col("id"), col("sk"), col("gsize"), col("b.band"), col("b.bucket"))
     val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize,
       "simhash_neardups_buckets")
-    val a = capped.select(col("band"), col("bucket"), col("id").as("idA"), col("sk").as("skA"))
-    val b = capped.select(col("band"), col("bucket"), col("id").as("idB"), col("sk").as("skB"))
+    val a = capped.select(col("band"), col("bucket"), col("id").as("idA"),
+      col("sk").as("skA"), col("gsize").as("sizeA"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("idB"),
+      col("sk").as("skB"), col("gsize").as("sizeB"))
     a.join(b, Seq("band", "bucket")).filter(col("idA") < col("idB"))
       .select(col("idA"), col("idB"),
-        bit_count(col("skA").bitwiseXOR(col("skB"))).as("hamming"))
+        bit_count(col("skA").bitwiseXOR(col("skB"))).as("hamming"),
+        col("sizeA"), col("sizeB"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("idA", "idB")
   }

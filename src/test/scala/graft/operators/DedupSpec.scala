@@ -72,9 +72,15 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhashNearDups: close pairs found via band buckets, far pairs excluded") {
+    // identical docs 1,2 collapse into one sketch group (rep = min id,
+    // gsize 2) — the near-dup pair is reported once at group level
     val pairs = Dedup.simhashNearDups(docs, "id", "text", maxHamming = 3)
-      .select("idA", "idB").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((1L, 2L)), "identical docs (hamming 0) must pair")
+      .select("idA", "idB", "sizeA", "sizeB")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 2L),
+      "near-dup of the identical group must pair with its rep, carrying gsize 2")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      "collapsed copy must not appear as a separate vertex")
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc must not pair")
     // recall guarantee only holds to hamming 3 with 4 bands
     assertThrows[IllegalArgumentException](
