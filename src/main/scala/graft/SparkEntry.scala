@@ -212,6 +212,42 @@ object SparkEntry {
       li.join(broadcast(urgent), li("l_orderkey") === urgent("o_orderkey"), "left_semi")
         .agg(count(lit(1)).as("n"))
     }),
+    "asof_join" -> ((s, d) => {
+      // J6: backward as-of join — attribute each purchase to the most
+      // recent click by the same user at-or-before it (classic
+      // last-touch attribution). One shuffle on user_id via the
+      // union+running-window shape; the oracle recomputes it with
+      // DuckDB's native ASOF LEFT JOIN — a cross-algorithm check.
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase" && col("user_id") < 4)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // right side made unique per (user, ts): ambiguous as-of inputs
+      // are pre-aggregated, not tie-broken silently
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("c_ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      operators.TemporalJoin.asof(purchases, clicks,
+          keys = Seq("user_id"), lTs = "ts", rTs = "c_ts",
+          rPayload = Seq("click_id", "c_ts"))
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          expr("(unix_micros(ts) - unix_micros(c_ts)) div 1000000").as("lag_s"))
+        .orderBy("event_id")
+    }),
+    "range_join" -> ((s, d) => {
+      // J7: temporal proximity join with NO equi key (errors within
+      // ±5 min of any purchase) — naively a cross join; executed as a
+      // time-bucketed equi-join, see TemporalJoin.proximity.
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("ts").as("e_ts"))
+      operators.TemporalJoin.proximity(p, e, "p_ts", "e_ts", tolSec = 300L)
+        .groupBy(to_date(col("p_ts")).as("day"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("p_id")).as("n_purchases"))
+        .orderBy("day")
+    }),
     "q3_shipping" -> ((s, d) => {
       // TPC-H-Q3 shape: selective dim filters on both join sides, FK
       // chain customer→orders→lineitem, revenue agg, top-10 — the
@@ -840,6 +876,13 @@ object SparkEntry {
         .select(col("doc_id"), col("rnk").cast("bigint").as("rnk"),
           col("tok").as("term"), round(col("tfidf"), 4).as("tfidf"))
         .orderBy("doc_id", "rnk")),
+    "bm25_search" -> ((s, d) =>
+      // lexical retrieval: BM25 top-10 for a 3-term query ('dup' is
+      // the one rare vocab term — high idf separates the ranking)
+      TextAnalysis.bm25Rank(tp(s, d, "documents"), "doc_id", "text",
+          Seq("spark", "window", "dup"))
+        .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id")).limit(10)),
     "approx_distinct" -> ((s, d) =>
       // HLL++ sketch vs exact distinct: at 100 TB the sketch is the
       // only single-pass no-shuffle-of-values option for cardinality;
@@ -1361,6 +1404,22 @@ object SparkEntry {
       "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rnk FROM s) " +
       "SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok AS term, round(tfidf, 4) AS tfidf " +
       "FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"),
+    // real BM25 oracle: same tokenization, same k1=1.2/b=0.75
+    // arithmetic in the same association order ((1-b) + (b/avgdl)*dl),
+    // same rounded-score ordering
+    "bm25_search" -> ("WITH toks AS (SELECT doc_id, unnest(list_filter(" +
+      "string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS tok FROM documents), " +
+      "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), " +
+      "st AS (SELECT (SELECT count(*) FROM documents) AS n, " +
+      "(SELECT CAST(count(*) AS DOUBLE) FROM toks) / (SELECT count(*) FROM documents) AS avgdl), " +
+      "tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM toks " +
+      "WHERE tok IN ('spark', 'window', 'dup') GROUP BY 1, 2), " +
+      "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+      "s AS (SELECT tf.doc_id, sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) " +
+      "* tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + (0.75 / st.avgdl) * dl.dl))) AS bm25 " +
+      "FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st GROUP BY 1) " +
+      "SELECT doc_id, round(bm25, 4) AS bm25 FROM s " +
+      "ORDER BY bm25 DESC, doc_id LIMIT 10"),
     // real oracle for the HLL sketch: DuckDB recomputes the exact
     // distinct count; within_5pct = 1 is the sketch-accuracy claim
     "approx_distinct" -> ("SELECT event_type, " +
@@ -1401,6 +1460,23 @@ object SparkEntry {
     "j2_multiway" -> ("SELECT r_name, count(*) AS n_customers FROM customer JOIN nation ON c_nationkey = n_nationkey " +
       "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name"),
     "j4_semijoin" -> "SELECT count(*) AS n FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')",
+    // cross-algorithm oracle: DuckDB's NATIVE ASOF LEFT JOIN vs the
+    // engine's union+running-window formulation
+    "asof_join" -> ("WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase' AND user_id < 4), " +
+      "c AS (SELECT user_id, ts AS c_ts, max(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) " +
+      "SELECT p.event_id, p.user_id, c.click_id, " +
+      "(epoch_us(p.ts) - epoch_us(c.c_ts)) // 1000000 AS lag_s " +
+      "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.c_ts " +
+      "ORDER BY p.event_id"),
+    // the oracle states the range predicate directly (DuckDB may
+    // nested-loop it at sf scale); the engine's bucketed equi-join must
+    // produce the identical pair set
+    "range_join" -> ("WITH p AS (SELECT event_id AS p_id, ts AS p_ts FROM events WHERE event_type = 'purchase'), " +
+      "e AS (SELECT event_id AS e_id, ts AS e_ts FROM events WHERE event_type = 'error') " +
+      "SELECT CAST(p_ts AS DATE) AS day, count(*) AS n_pairs, " +
+      "count(DISTINCT p_id) AS n_purchases " +
+      "FROM p JOIN e ON abs(epoch_us(p_ts) - epoch_us(e_ts)) <= 300000000 " +
+      "GROUP BY 1 ORDER BY 1"),
     "q3_shipping" -> ("SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS order_date, o.o_orderpriority, " +
       "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue " +
       "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey JOIN customer c ON o.o_custkey = c.c_custkey " +

@@ -228,6 +228,69 @@ object TextAnalysis {
       .filter(col("rnk") <= k)
   }
 
+  /** One compiled pass per document: doc length + per-query-term
+    * counts. A HOF formulation (size(filter(ts, ...)) per term) would
+    * re-tokenize per lambda after project-collapse — the measured
+    * 20-70× hazard documented in README. */
+  private case class Bm25Profile(dl: Long, tf: Array[Long])
+
+  private def bm25ProfileUdf(terms: Seq[String]) = {
+    val idx = terms.zipWithIndex.toMap
+    udf((text: String) => {
+      val tf = new Array[Long](idx.size)
+      var dl = 0L
+      if (text != null)
+        text.toLowerCase.split("\\s+").foreach { t =>
+          if (t.nonEmpty) {
+            dl += 1
+            idx.get(t) match { case Some(i) => tf(i) += 1; case None => }
+          }
+        }
+      Bm25Profile(dl, tf)
+    })
+  }
+
+  /** BM25-ranked keyword retrieval (Robertson/Sparck Jones; the
+    * textbook k1/b form) — the lexical half of a RAG retriever next to
+    * the vector half in VectorSearch (ref rag_service.py:208-241
+    * retrieves by embedding only; BM25 is the standard hybrid
+    * complement).
+    *
+    * Scale shape: NO wide shuffle at all. One compiled UDF pass
+    * projects each doc to (id, dl, tf[terms]); that narrow profile is
+    * localCheckpoint'd once so the corpus is scanned ONCE; corpus
+    * stats (N, Σdl, per-term df) come from a single partial-agg
+    * `.head` — the same driver-scalar discipline as lm_score's
+    * normalizer (a one-row DataFrame would fold back in as a
+    * nested-loop join). Scoring is then pure column arithmetic with
+    * idf inlined as literals, and top-k is TakeOrderedAndProject.
+    *
+    * Returns docs with at least one query term, scored in `bm25`
+    * (raw double — callers round for presentation). */
+  def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val prof = docs
+      .select(col(idCol), bm25ProfileUdf(terms)(col(textCol)).as("p"))
+      .select(col(idCol) +: col("p.dl").as("dl") +:
+        terms.indices.map(i => col("p.tf")(i).as(s"tf_$i")): _*)
+      .localCheckpoint()
+    val stats = prof.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("tot") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")): _*).head
+    val n = stats.getLong(0)
+    val avgdl = if (n == 0) 1.0 else stats.getLong(1).toDouble / n
+    val score = terms.indices.map { i =>
+      val df = stats.getLong(2 + i).toDouble
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      lit(idf) * col(s"tf_$i") * (k1 + 1.0) /
+        (col(s"tf_$i") + lit(k1) * (lit(1.0 - b) + lit(b / avgdl) * col("dl")))
+    }.reduce(_ + _)
+    prof.filter(terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .select(col(idCol), col("dl"), score.as("bm25"))
+  }
+
   /** Per-document stat projection used by the corpus-stats queries. */
   def docStats(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)))
