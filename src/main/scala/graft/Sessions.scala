@@ -49,6 +49,20 @@ object Sessions {
       // tax the round-2 bench audit flagged. At scale partitions are
       // advisory-size-bound anyway, so this only removes empty tasks.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // scan-split sizing (the "size maxPartitionBytes to the target
+      // SF" rule): DuckDB-written single files at the GB scale points
+      // are ~1-2 GB — the 128 MB default yields 8-16 scan tasks on 32
+      // cores, serializing every fact scan. 32 MB keeps scans at or
+      // above core count from ~1 GB of input up; at sf0.1 files are
+      // smaller than one split either way, so nothing changes there.
+      .config("spark.sql.files.maxPartitionBytes", "33554432")
+      // shuffle joins: build a hash table instead of sorting both
+      // sides when one side is small enough (Spark still requires the
+      // size asymmetry before it picks SHJ, and AQE can re-plan).
+      // Sorting 10⁷-row fact shuffles dominated q3-shape joins at the
+      // 100× scale point; the aggregate after the join never needed
+      // the sort order.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

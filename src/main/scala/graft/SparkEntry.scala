@@ -937,12 +937,15 @@ object SparkEntry {
           when(col("doc_id") % 5 === 0,
             concat(lit(" see https://data.example.org/doc/"), col("doc_id"),
               lit(" for details"))).otherwise(lit(""))).as("t"))
-      withPii.select(col("doc_id"),
-          Pii.emailCount(col("t")).as("n_emails"),
-          Pii.phoneCount(col("t")).as("n_phones"),
-          Pii.urlCount(col("t")).as("n_urls"),
-          length(Pii.mask(col("t"))).cast("bigint").as("masked_len"),
-          md5(Pii.mask(col("t"))).as("masked_md5"))
+      // one compiled traversal per row: counts + masked text together
+      // (the per-kind regexp_* composition re-scanned the text 8×)
+      withPii.select(col("doc_id"), Pii.scrub(col("t")).as("p"))
+        .select(col("doc_id"),
+          col("p._1").as("n_emails"),
+          col("p._2").as("n_phones"),
+          col("p._3").as("n_urls"),
+          length(col("p._4")).cast("bigint").as("masked_len"),
+          md5(col("p._4")).as("masked_md5"))
         .orderBy("doc_id")
     }),
     "multimodal_decode" -> ((s, d) => {
@@ -1255,12 +1258,15 @@ object SparkEntry {
           sum(lit(1L) - col("is_raw")).as("n_deduped"))
     }),
     "from_json_props" -> ((s, d) =>
-      // §2.8-json: schema-directed from_json over the events props
-      // column (vs json_extract's regexp path) — real DuckDB oracle.
+      // §2.8-json: single-path JSON extraction over the events props
+      // column — real DuckDB oracle. get_json_object takes Jackson's
+      // streaming path for the one accessed field; the earlier
+      // from_json built a full parsed struct row per record and was
+      // 33× DuckDB at the 100× scale point (round-4 audit).
       // tp: the per-row JSON parse is CPU-bound in the scan stage
       tp(s, d, "events")
         .select(col("event_type"),
-          from_json(col("props"), lit("k INT")).getField("k").as("k"))
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
         .groupBy("event_type")
         .agg(round(avg("k"), 4).as("avg_k"), max("k").cast("bigint").as("max_k"))
         .orderBy("event_type")),

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
+import java.util.regex.Pattern
+
 /** PII detection and masking for training-data scrubbing: emails,
   * phone numbers, and URLs are counted and replaced with typed
   * placeholders before text enters a training mix. Built entirely
@@ -37,11 +39,50 @@ object Pii {
 
   /** Replace every match with a typed placeholder. URLs first so an
     * address inside a query string is not half-masked by the email
-    * pass; each `regexp_replace` is global. */
+    * pass; each `regexp_replace` is global. Prefer [[scrub]] when
+    * counts AND masked text are both needed: this form re-scans the
+    * text once per pattern. */
   def mask(text: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(text, urlRe, "[URL]"),
         emailRe, "[EMAIL]"),
       phoneRe, "[PHONE]")
+
+  /** One alternation pattern; group number identifies the PII kind.
+    * The URL branch is FIRST so an address inside a query string
+    * resolves as part of its URL — the same precedence [[mask]] gets
+    * from running the URL replace before the email replace. */
+  private val scrubPattern: Pattern =
+    Pattern.compile(s"($urlRe)|($emailRe)|($phoneRe)")
+
+  /** Detect + mask every PII kind in ONE compiled traversal, returning
+    * struct<n_emails, n_phones, n_urls, masked>. Equivalent to the
+    * per-kind count + [[mask]] composition (matches of the three
+    * patterns cannot overlap except email-inside-URL, which both forms
+    * resolve to the URL), but scans the text once instead of eight
+    * times — the multi-regexp formulation was 5× DuckDB at the 100×
+    * scale point (round-4 audit). Row-local, linear scale-out. */
+  private val scrubUdf = udf((s: String) => {
+    if (s == null) null
+    else {
+      val m = scrubPattern.matcher(s)
+      val sb = new java.lang.StringBuilder(s.length)
+      var emails = 0L; var phones = 0L; var urls = 0L
+      var last = 0
+      while (m.find()) {
+        sb.append(s, last, m.start())
+        if (m.group(1) != null) { urls += 1L; sb.append("[URL]") }
+        else if (m.group(2) != null) { emails += 1L; sb.append("[EMAIL]") }
+        else { phones += 1L; sb.append("[PHONE]") }
+        last = m.end()
+      }
+      sb.append(s, last, s.length)
+      (emails, phones, urls, sb.toString)
+    }
+  })
+
+  /** Single-pass PII scrub; see [[scrubUdf]]. Fields: `_1`=n_emails,
+    * `_2`=n_phones, `_3`=n_urls, `_4`=masked text. */
+  def scrub(text: Column): Column = scrubUdf(text)
 }

@@ -55,29 +55,42 @@ object Relational {
     saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
   }
 
-  /** Skew join, hot-keys-only refinement of [[saltedJoin]]: find the
-    * keys that actually carry the skew from a seeded sample of the big
-    * side, salt ONLY those, and let cold keys take the plain shuffle
-    * join (AQE handles mild residual skew). Uniform salting replicates
+  /** Skew join, hot-keys-only refinement of [[saltedJoin]]: salt ONLY
+    * the keys that actually carry the skew; cold keys take a constant
+    * salt (AQE handles mild residual skew). Uniform salting replicates
     * the small side `saltFactor`× for EVERY key — at 100 TB that
     * multiplies the small side's shuffle for the 99.9% of keys that
-    * never needed it. The sample-count job is one 1%-scan aggregation;
-    * on a real deployment table statistics replace it. Result equals
-    * the plain inner join (spec-asserted). */
+    * never needed it. Hot and cold rows share ONE join on (key, salt),
+    * so the big side is scanned and shuffled exactly once — the earlier
+    * plain∪salted union scanned it twice (round-4 audit: 12 s vs 1.1 s
+    * DuckDB at the 100× point). Result equals the plain inner join
+    * (spec-asserted).
+    *
+    * Hot keys come from `hotKeys` when the caller already knows them
+    * (table statistics / a prior profiling pass — the production path);
+    * otherwise one seeded sample-count job over the big side's key
+    * column finds them (column-pruned: reads only `key`). */
   def skewJoin(big: DataFrame, small: DataFrame, key: String,
                saltFactor: Int, sampleFraction: Double = 0.01,
-               hotKeyCount: Int = 16, seed: Long = 42L): DataFrame = {
-    val hot = big.sample(withReplacement = false, sampleFraction, seed)
-      .groupBy(key).count()
-      .orderBy(desc("count"), col(key))
-      .limit(hotKeyCount)
-      .select(key).collect().map(_.get(0)).toSeq
+               hotKeyCount: Int = 16, seed: Long = 42L,
+               hotKeys: Option[Seq[Any]] = None): DataFrame = {
+    val hot = hotKeys.getOrElse {
+      big.sample(withReplacement = false, sampleFraction, seed)
+        .groupBy(key).count()
+        .orderBy(desc("count"), col(key))
+        .limit(hotKeyCount)
+        .select(key).collect().map(_.get(0)).toSeq
+    }
     if (hot.isEmpty) big.join(small, Seq(key))
     else {
-      val isHot = col(key).isin(hot: _*)
-      val plain = big.filter(!isHot).join(small.filter(!isHot), Seq(key))
-      val salted = saltedJoin(big.filter(isHot), small.filter(isHot), key, saltFactor)
-      plain.unionByName(salted.select(plain.columns.map(col): _*))
+      val saltedBig = big.withColumn("_salt",
+        when(col(key).isin(hot: _*),
+          pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+          .otherwise(lit(0)))
+      val saltedSmall = small.withColumn("_salt",
+        explode(when(col(key).isin(hot: _*),
+          sequence(lit(0), lit(saltFactor - 1))).otherwise(array(lit(0)))))
+      saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
     }
   }
 

@@ -34,4 +34,23 @@ class PiiSpec extends SparkSpec {
     assert(u == 1L)
     assert(m == "see [URL] end")
   }
+
+  test("single-pass scrub equals the per-kind count + mask composition") {
+    val texts = Seq(
+      "mail a.b+c@sub.example.co.kr or call +82-10-1234-5678, docs at " +
+        "https://example.org/a?b=1 thanks",
+      "x@y.io then z@w.ai",
+      "no personal data in this perfectly ordinary sentence 12-34",
+      "see https://t.co/q?mail=a@b.com end",
+      "+1-212-555-0100 and +82-2-123-4567 twice",
+      "")
+    val df = texts.toDF("t")
+    val viaScrub = df.select(Pii.scrub(col("t")).as("s"))
+      .select(col("s._1"), col("s._2"), col("s._3"), col("s._4"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val viaParts = df.select(Pii.emailCount(col("t")), Pii.phoneCount(col("t")),
+        Pii.urlCount(col("t")), Pii.mask(col("t")))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(viaScrub == viaParts)
+  }
 }

@@ -56,6 +56,14 @@ class RelationalSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSet
     assert(skew == plain)
     assert(skew.exists { case (tag, n, _) => tag == "t7" && n == 500 })
+
+    // caller-provided hot keys (the table-statistics path) skip the
+    // sample job and produce the same result
+    val preStats = Relational.skewJoin(big, small, "k", saltFactor = 4,
+        hotKeys = Some(Seq(7L)))
+      .groupBy("tag").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(preStats == plain)
   }
 
   test("cumulativeBudget keeps the boundary row (truncate-last semantics)") {
