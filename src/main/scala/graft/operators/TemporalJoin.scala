@@ -36,6 +36,13 @@ object TemporalJoin {
     * (ambiguous as-of matches are a modeling bug, not a tie to break
     * silently).
     *
+    * The payload travels as ONE struct and the window takes `last` of
+    * the struct, so a matched row's columns always come from the SAME
+    * right row — per-column `last(_, ignoreNulls)` would let a null in
+    * one payload column fall back to an older right row and stitch an
+    * incoherent match (round-4 advisory). Right payload columns may
+    * themselves be null; only the left-side marker struct is null.
+    *
     * @param rPayload right columns to carry (may include the `rTs`
     *                 column itself, e.g. to compute the match lag)
     */
@@ -43,26 +50,30 @@ object TemporalJoin {
            lTs: String, rTs: String, rPayload: Seq[String]): DataFrame = {
     val lPayload = left.columns.filterNot(keys.contains).toSeq
     val lTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
-    val rTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val rStructType = org.apache.spark.sql.types.StructType(
+      right.schema.fields.filter(f => rPayload.contains(f.name))
+        .sortBy(f => rPayload.indexOf(f.name)))
     val lSide = left.select(
       keys.map(col) ++
-        Seq(col(lTs).as("_t"), lit(1).as("_side")) ++
-        lPayload.map(col) ++
-        rPayload.map(c => lit(null).cast(rTypes(c)).as(c)): _*)
+        Seq(col(lTs).as("_t"), lit(1).as("_side"),
+          lit(null).cast(rStructType).as("_rp")) ++
+        lPayload.map(col): _*)
     val rSide = right.select(
       keys.map(col) ++
-        Seq(col(rTs).as("_t"), lit(0).as("_side")) ++
-        lPayload.map(c => lit(null).cast(lTypes(c)).as(c)) ++
-        rPayload.map(col): _*)
+        Seq(col(rTs).as("_t"), lit(0).as("_side"),
+          struct(rPayload.map(col): _*).as("_rp")) ++
+        lPayload.map(c => lit(null).cast(lTypes(c)).as(c)): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lSide.unionByName(rSide)
       .select(
         keys.map(col) ++ lPayload.map(col) ++ Seq(col("_side")) ++
-          rPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+          Seq(last(col("_rp"), ignoreNulls = true).over(w).as("_rp")): _*)
       .filter(col("_side") === 1)
-      .drop("_side")
+      .select(
+        keys.map(col) ++ lPayload.map(col) ++
+          rPayload.map(c => col("_rp").getField(c).as(c)): _*)
   }
 
   /** Temporal proximity join: every (left, right) pair with
