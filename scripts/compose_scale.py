@@ -72,14 +72,20 @@ def main():
             "full_artifact": art,
         }
         points.append(point)
-        trend_bits["full"].append(point["real_oracle_subset"]["ratio"])
+
+        # an artifact without its DuckDB baseline has None subsets —
+        # report that point as n/a rather than crashing the composition
+        def ratio(sub):
+            return sub["ratio"] if sub else None
+
+        trend_bits["full"].append(ratio(point["real_oracle_subset"]))
         trend_bits["conservative"].append(
-            point["subset_excl_all_lambda_heavy"]["ratio"])
+            ratio(point["subset_excl_all_lambda_heavy"]))
         trend_bits["r3"].append(
-            point["subset_r3_comparable_excl_round4_oracles"]["ratio"])
+            ratio(point["subset_r3_comparable_excl_round4_oracles"]))
 
     def arrow(xs):
-        return " -> ".join(f"{x}x" for x in xs)
+        return " -> ".join("n/a" if x is None else f"{x}x" for x in xs)
 
     trend = (
         "real-oracle-subset ratio vs DuckDB under every slice: full "

@@ -524,6 +524,33 @@ object SparkEntry {
         .agg(round(TimeSeriesOps.rmse(col("v"), col("pred")), 4).as("rmse"),
           round(TimeSeriesOps.smape(col("v"), col("pred")), 4).as("smape"))
     }),
+    "forecast_ridge" -> ((s, _) => {
+      // Trained-model forecast (SURVEY §7 trained-model slot; ref
+      // modules/price_forecast/train.py): same fixture pipeline as
+      // forecast_pipeline, then a time-ordered 80/20 split, a calendar
+      // ridge fit (ONE Gram-matrix agg pass over the train split,
+      // driver-side 6×6 solve — Forecast.scala scale note) and
+      // row-local scoring of the held-out tail. Deterministic fixture
+      // → metrics pinned as a VALUES oracle.
+      val daily = TimeSeriesOps.dailyResample(
+        Fixtures.fruitPrices(s).withColumn("fruit", lit("banana")),
+        Seq(col("fruit")), col("date").cast("timestamp"), col("price"))
+      val spine = TimeSeriesOps.toDailySpine(daily, Seq("fruit"), "day", "avg_value")
+      val interp = TimeSeriesOps.interpolateGapLimited(
+        spine, Seq("fruit"), "day", "avg_value", maxGap = 14)
+        .filter(col("avg_value").isNotNull)
+      val split = TimeSeriesOps.ratioSplit(interp, Seq("fruit"), "day",
+        (0.8, 0.0, 0.2))
+      val beta = graft.operators.Forecast.fitRidgeCalendar(
+        split.filter(col("split") === "train"), "day", "avg_value")
+      split.filter(col("split") === "test")
+        .withColumn("pred",
+          graft.operators.Forecast.predictCalendar(col("day"), beta))
+        .groupBy("fruit")
+        .agg(count(lit(1)).as("n_eval"),
+          round(TimeSeriesOps.rmse(col("avg_value"), col("pred")), 4).as("rmse"),
+          round(TimeSeriesOps.smape(col("avg_value"), col("pred")), 4).as("smape"))
+    }),
     "salted_join" -> ((s, d) => {
       // hot-key-only skew join: sampled key histogram picks the keys
       // that need salting, the cold 99.9% take the plain shuffle join
@@ -1678,6 +1705,8 @@ object SparkEntry {
       "AS t(save_name, n_chunks, n_docs, total_chars)"),
     "forecast_pipeline" -> ("SELECT * FROM (VALUES ('banana', CAST(113 AS BIGINT), CAST(18.2045 AS DOUBLE), CAST(0.4724 AS DOUBLE))) " +
       "AS t(fruit, n_eval, rmse, smape)"),
+    "forecast_ridge" -> ("SELECT * FROM (VALUES ('banana', CAST(24 AS BIGINT), CAST(26.2627 AS DOUBLE), CAST(0.7533 AS DOUBLE))) " +
+      "AS t(fruit, n_eval, rmse, smape)"),
     "ingest_bulk" -> ("SELECT * FROM (VALUES (CAST(1553 AS BIGINT), CAST(500 AS BIGINT), CAST(439.59 AS DOUBLE))) " +
       "AS t(n_chunks, n_docs, avg_chunk_chars)"),
     "webrag_pipeline" -> ("SELECT * FROM (VALUES ('AI 반도체 시장 급성장', CAST(0.4606 AS DOUBLE))," +
@@ -1750,7 +1779,9 @@ object SparkEntry {
       "SELECT min(doc_id) AS cluster, CAST(count(*) AS BIGINT) AS n_members, " +
       "CAST(max(doc_id) AS BIGINT) AS max_id " +
       "FROM corpus GROUP BY text ORDER BY cluster"),
-    "ann_ivf" -> ("SELECT * FROM (VALUES (CAST(10 AS INT), CAST(4 AS INT), CAST(16 AS INT), CAST(0.3 AS DOUBLE))) AS t(k, nprobe, clusters, recall)"),
+    // recall re-pinned after the layout-independent train() sample
+    // (hash-selected + value-sorted — round-4 advisory): 0.3 → 0.6
+    "ann_ivf" -> ("SELECT * FROM (VALUES (CAST(10 AS INT), CAST(4 AS INT), CAST(16 AS INT), CAST(0.6 AS DOUBLE))) AS t(k, nprobe, clusters, recall)"),
     // 500-row pin lives in its own file (PinnedOracles.scala)
     "simhash_sketch" -> PinnedOracles.simhashSketchSql,
     "from_json_props" -> ("SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k, " +

@@ -334,9 +334,12 @@ object Dedup {
     * At 100 TB a boilerplate-heavy corpus puts thousands of near-
     * identical docs in one bucket and the candidate equi-join squares
     * it; capping bounds the worst bucket to cap²/2 candidate pairs.
-    * The dropped-row count is published as an `observe` metric
-    * (`<name>.dropped_rows`) so the loss is visible in query metrics,
-    * never silent. The window count shuffles on the same key as the
+    * The dropped-row count is published as an `observe` metric named
+    * `<name>_<n>` (a per-JVM sequence suffix keeps names unique when
+    * one plan composes the operator twice — consumers must match on
+    * the `<name>` PREFIX, not the exact string) carrying
+    * `dropped_rows`, so the loss is visible in query metrics, never
+    * silent. The window count shuffles on the same key as the
     * candidate join that follows, so the guard adds no extra exchange
     * at scale (AQE reuses the partitioning). */
   // observed-metric names must be unique within one plan; a per-call
@@ -422,6 +425,15 @@ object Dedup {
       converged = changed == 0L
       iter += 1
     }
+    // min-label propagation advances one hop per round, so a component
+    // whose diameter exceeds maxIter would exit here SPLIT — wrong
+    // components, silently. Fail loudly instead (round-4 advisory);
+    // callers with pathological chain-shaped graphs should raise
+    // maxIter or switch to large-star/small-star contraction.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds; " +
+          "labels would be split across oversized-diameter components")
     labels
   }
 }

@@ -79,11 +79,20 @@ object VectorIndex {
     val n = vecs0.count()
     val vecs =
       if (n <= maxTrainSamples) vecs0
-      // 1.2× oversample so the post-sample count lands at or above the
-      // target with high probability; exactness is irrelevant here
-      else vecs0.sample(withReplacement = false,
-        math.min(1.0, 1.2 * maxTrainSamples / n.toDouble), seed)
-    val pts = vecs.collect().map(_.getSeq[Float](0).toArray)
+      // 1.2× oversample so the selection lands at or above the target
+      // with high probability; exactness is irrelevant here. Selection
+      // is a HASH of the row value, not sample(): Bernoulli sample()
+      // draws per-partition, so its output (and thus the fit) would
+      // change with file-split sizing / parallelism (round-4 advisory)
+      else {
+        val den = 1000000L
+        val num = (math.min(1.0, 1.2 * maxTrainSamples / n.toDouble) * den).toLong
+        vecs0.filter(pmod(xxhash64(col(embCol), lit(seed)), lit(den)) < lit(num))
+      }
+    // stable sort before collect: parquet scan order varies with split
+    // sizing, and the seeded init indexes into this array — sorting by
+    // the vector value pins the fit to the DATA, not the layout
+    val pts = vecs.orderBy(col(embCol)).collect().map(_.getSeq[Float](0).toArray)
     Model(localKMeans(pts, k, seed, maxIter))
   }
 
