@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Calendar ridge forecaster: recovers a known seasonal+trend signal,
+  * beats seasonal-naive on trending series, and slots into the same
+  * split/metrics harness an MLlib estimator would (cross-checked
+  * against spark.ml GBT on the identical feature frame). */
+class ForecastSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 3 years of daily y = 10 + 2.5·years + 4·sin(2π·doy/365.25)
+    * + 1.5·cos(2π·dow/7) + tiny deterministic noise. */
+  private def synthetic() = {
+    val twoPi = 2.0 * math.Pi
+    spark.range(0, 1096)
+      .select(date_add(lit("2020-01-01").cast("date"), col("id").cast("int")).as("day"))
+      .withColumn("y",
+        lit(10.0) +
+          lit(2.5) * datediff(col("day"), lit("2000-01-01").cast("date")) / 365.25 +
+          lit(4.0) * sin(dayofyear(col("day")) * twoPi / 365.25) +
+          lit(1.5) * cos((dayofweek(col("day")) - 1) * twoPi / 7.0) +
+          pmod(xxhash64(col("day")), lit(100)).cast("double") / 1000.0)
+  }
+
+  test("ridge fit recovers a seasonal+trend signal (test RMSE ~ noise floor)") {
+    val df = synthetic()
+    val split = TimeSeriesOps.ratioSplit(df, Seq.empty, "day", (0.8, 0.0, 0.2))
+    val beta = Forecast.fitRidgeCalendar(
+      split.filter(col("split") === "train"), "day", "y")
+    val rmse = split.filter(col("split") === "test")
+      .withColumn("pred", Forecast.predictCalendar(col("day"), beta))
+      .agg(TimeSeriesOps.rmse(col("y"), col("pred"))).head.getDouble(0)
+    // signal amplitude ~4; uniform noise on [0, 0.1) → rmse ≈ 0.03
+    assert(rmse < 0.1, s"ridge rmse $rmse did not reach the noise floor")
+  }
+
+  test("ridge beats seasonal-naive on a trending series") {
+    val df = synthetic()
+    val split = TimeSeriesOps.ratioSplit(df, Seq.empty, "day", (0.8, 0.0, 0.2))
+    val beta = Forecast.fitRidgeCalendar(
+      split.filter(col("split") === "train"), "day", "y")
+    val ridgeRmse = split.filter(col("split") === "test")
+      .withColumn("pred", Forecast.predictCalendar(col("day"), beta))
+      .agg(TimeSeriesOps.rmse(col("y"), col("pred"))).head.getDouble(0)
+    val naiveRmse = TimeSeriesOps.seasonalNaive(
+        split.filter(col("split") === "test"), Seq.empty, "day", "y", 7)
+      .agg(TimeSeriesOps.rmse(col("y"), col("pred"))).head.getDouble(0)
+    assert(ridgeRmse < naiveRmse,
+      s"ridge $ridgeRmse not better than seasonal-naive $naiveRmse")
+  }
+
+  test("fit is deterministic across partitioning layouts") {
+    val df = synthetic()
+    val b1 = Forecast.fitRidgeCalendar(df.repartition(1), "day", "y")
+    val b8 = Forecast.fitRidgeCalendar(df.repartition(8), "day", "y")
+    b1.zip(b8).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-6, s"coefficients diverged: $x vs $y")
+    }
+  }
+
+  test("degenerate split (constant features) still solves via ridge λ") {
+    // one repeated day: trend/seasonal columns are constant → rank-1
+    // Gram matrix; λ must keep the solve well-posed
+    val df = Seq.fill(20)(("2021-06-01", 5.0)).toDF("d", "y")
+      .select(col("d").cast("date").as("day"), col("y"))
+    val beta = Forecast.fitRidgeCalendar(df, "day", "y")
+    val pred = df.withColumn("p", Forecast.predictCalendar(col("day"), beta))
+      .agg(avg("p")).head.getDouble(0)
+    assert(math.abs(pred - 5.0) < 0.1, s"degenerate fit predicted $pred, want ~5")
+  }
+
+  test("the harness accommodates an MLlib estimator (GBT on the same features)") {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.GBTRegressor
+    val twoPi = 2.0 * math.Pi
+    val featured = synthetic()
+      .withColumn("trend",
+        datediff(col("day"), lit("2000-01-01").cast("date")).cast("double") / 365.25)
+      .withColumn("doy_sin", sin(dayofyear(col("day")) * twoPi / 365.25))
+      .withColumn("doy_cos", cos(dayofyear(col("day")) * twoPi / 365.25))
+      .withColumn("dow_sin", sin((dayofweek(col("day")) - 1) * twoPi / 7.0))
+      .withColumn("dow_cos", cos((dayofweek(col("day")) - 1) * twoPi / 7.0))
+    val split = TimeSeriesOps.ratioSplit(featured, Seq.empty, "day", (0.8, 0.0, 0.2))
+    val assembler = new VectorAssembler()
+      .setInputCols(Array("trend", "doy_sin", "doy_cos", "dow_sin", "dow_cos"))
+      .setOutputCol("features")
+    val gbt = new GBTRegressor().setLabelCol("y").setFeaturesCol("features")
+      .setMaxIter(20).setMaxDepth(4).setSeed(42L)
+    val model = gbt.fit(assembler.transform(split.filter(col("split") === "train")))
+    val rmse = model.transform(assembler.transform(split.filter(col("split") === "test")))
+      .agg(TimeSeriesOps.rmse(col("y"), col("prediction"))).head.getDouble(0)
+    // GBT can't extrapolate the linear trend beyond the train range, so
+    // its held-out-tail RMSE carries the up-to-1.5 trend drift over the
+    // test window (signal std ~3.5) — the point is the HARNESS runs an
+    // MLlib estimator end-to-end, and the closed-form ridge (which
+    // extrapolates) is the better scale choice; assert GBT at least
+    // learns the seasonality (a mean-only model would sit near 3.5+)
+    assert(rmse < 3.0, s"GBT rmse $rmse learned nothing")
+  }
+}
