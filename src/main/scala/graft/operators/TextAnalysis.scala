@@ -127,13 +127,15 @@ object TextAnalysis {
     * drop (Rae et al. 2021, "Scaling Language Models", §A1.1 —
     * public Gopher filtering rules). One compiled pass builds every
     * n-gram table — row-local, embarrassingly parallel, no shuffle;
-    * the explode+window formulation would shuffle each doc's grams. */
-  private case class RepStats(n_tokens: Long, distinct_ratio: Double,
-                              top2_frac: Double, dup2_frac: Double,
-                              dup3_frac: Double)
-
+    * the explode+window formulation would shuffle each doc's grams.
+    *
+    * Returns a plain tuple for the same reason as bm25Profile: a
+    * nested case class makes whole-stage codegen emit a call janino
+    * cannot compile, silently dropping the stage to interpreted mode
+    * (seen in the round-5 verify log); [[repetition]] restores the
+    * field names with a positional struct cast. */
   private val repetitionUdf = udf((text: String) => {
-    if (text == null) RepStats(0L, 0.0, 0.0, 0.0, 0.0)
+    if (text == null) (0L, 0.0, 0.0, 0.0, 0.0)
     else {
       val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
       val n = toks.length
@@ -163,8 +165,7 @@ object TextAnalysis {
         toks.foreach(set.add)
         set.size
       }
-      RepStats(
-        n.toLong,
+      (n.toLong,
         if (n == 0) 0.0 else distinct.toDouble / n,
         if (n2 == 0) 0.0 else top2.toDouble / n2,
         if (n2 == 0) 0.0 else dup2.toDouble / n2,
@@ -172,8 +173,12 @@ object TextAnalysis {
     }
   })
 
-  /** Struct of repetition metrics; see `repetitionUdf`. */
-  def repetition(text: Column): Column = repetitionUdf(text)
+  /** Struct of repetition metrics; see `repetitionUdf`. The cast is
+    * positional, so it only renames _1.._5 — one UDF evaluation. */
+  def repetition(text: Column): Column =
+    repetitionUdf(text).cast(
+      "struct<n_tokens:bigint,distinct_ratio:double,top2_frac:double," +
+        "dup2_frac:double,dup3_frac:double>")
 
   /** Keep-predicate from the repetition metrics (Gopher-ish policy
     * thresholds: drop if the top 2-gram covers >20% of 2-grams or
