@@ -1,0 +1,22 @@
+#!/usr/bin/env bash
+# Runs the bench suite at the sf0.1 / 10x / 100x scale points and
+# composes BENCH_SCALE.json. Regenerate the replicated dirs first:
+#   python3 scripts/gen_scale.py /root/testdata/sf0.1 /tmp/scale/x10 10
+#   python3 scripts/gen_scale.py /root/testdata/sf0.1 /tmp/scale/x100 100
+# (driver-side tooling; the Scala library never depends on this)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+run_point() { # sfdir out
+  SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_BENCH_OUT="$2" \
+    sbt -batch "runMain graft.Bench" 2>&1 | tail -3
+}
+
+run_point /root/testdata/sf0.1 /tmp/scale/bench_sf01.json
+run_point /tmp/scale/x10      /tmp/scale/bench_x10.json
+run_point /tmp/scale/x100     /tmp/scale/bench_x100.json
+
+python3 scripts/compose_scale.py BENCH_SCALE.json \
+  "sf0.1 (17 MB, driver scale)=/tmp/scale/bench_sf01.json" \
+  "10x sf0.1 (170 MB)=/tmp/scale/bench_x10.json" \
+  "100x sf0.1 (1.7 GB)=/tmp/scale/bench_x100.json"
