@@ -103,9 +103,17 @@ object Bench {
       "minhash_bands", "a8_interpolate", "a9_longest_run")
 
     warmup(spark, sfDir)
+    // two concurrent passes, SYMMETRIC with the DuckDB baseline (whose
+    // two-pass run reports the warm wall): the first pays per-plan
+    // analysis + whole-stage-codegen compilation — work a resident
+    // engine does once per query shape, and which serializes on the
+    // driver under concurrency — the second is the steady state. Both
+    // walls are in the artifact; the headline is the warm one, like
+    // the oracle's.
+    val (wallParCold, _) = timeSuite(spark, sfDir, par, heavy)
     val (wallPar, outPar) = timeSuite(spark, sfDir, par, heavy)
     // sequential pass for uncontended (and genuinely warm) per-query
-    // seconds — always a second pass, even at PAR=1, so the labels
+    // seconds — always a further pass, even at PAR=1, so the labels
     // stay truthful
     val (wallSeq, outSeq) = timeSuite(spark, sfDir, 1, heavy)
     val good = outSeq.filter(_._3)
@@ -203,7 +211,7 @@ object Bench {
     // labeled: per-query seconds come from the warm PAR=1 pass (r01/
     // r02 recorded contended concurrent times under the same key).
     val headline =
-      s""""value":${"%.3f".format(wallPar)},"unit":"sec","schema_version":4,"wall_par${par}_postwarm_sec":${"%.3f".format(wallPar)},"wall_seq_warm_sec":${"%.3f".format(wallSeq)},"sum_query_sec":${"%.3f".format(good.map(_._2).sum)},"parallelism":$par,"n_queries":${outSeq.size},"queries_methodology":"seq_warm_par1""""
+      s""""value":${"%.3f".format(wallPar)},"unit":"sec","schema_version":5,"wall_par${par}_postwarm_sec":${"%.3f".format(wallPar)},"wall_par${par}_coldplans_sec":${"%.3f".format(wallParCold)},"wall_seq_warm_sec":${"%.3f".format(wallSeq)},"sum_query_sec":${"%.3f".format(good.map(_._2).sum)},"parallelism":$par,"n_queries":${outSeq.size},"queries_methodology":"seq_warm_par1""""
     val json =
       s"""{"metric":"total",$headline,"queries":$qs,"errors":$errs,"errors_par_only":$parOnlyErrs$duck$vector,"sf":"$sfDir"}"""
     Files.writeString(

@@ -42,7 +42,11 @@ object Sessions {
       // Spark 4 whitelists CSV charsets; the reference's fruit CSVs
       // are cp949 (S4), which needs the full JVM charset set
       .config("spark.sql.legacy.javaCharsets", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE stays ON by default (runtime skew/coalesce is the 100 TB
+      // posture); SPARK_GRAFT_AQE=false lets the bench quantify its
+      // per-query stage-materialization overhead at tiny scale factors
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // coalesce post-shuffle partitions by SIZE, not parallelism:
       // sub-100-row shuffle outputs collapse to one partition instead
       // of scheduling 32 near-empty tasks per stage — the fixed-cost
@@ -63,6 +67,10 @@ object Sessions {
       // 100× scale point; the aggregate after the join never needed
       // the sort order.
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      // concurrent-suite fairness: FIFO lets one query's wide stage
+      // block every other submitted query's tiny tasks; FAIR interleaves
+      // (SPARK_GRAFT_SCHED=FIFO restores the default for A/B runs)
+      .config("spark.scheduler.mode", sys.env.getOrElse("SPARK_GRAFT_SCHED", "FAIR"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
