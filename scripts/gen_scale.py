@@ -33,7 +33,13 @@ plans = {
     "part": f"(s.p_partkey + t.i*{P}) AS p_partkey",
     "documents": f"(s.doc_id + t.i*{D}) AS doc_id",
     "embeddings": f"(s.vec_id + t.i*{V}) AS vec_id",
-    "events": f"(s.event_id + t.i*{E}) AS event_id",
+    # ts shifts one day per replica: growth means MORE DAYS OF HISTORY
+    # at the same per-instant density. Replicating identical timestamps
+    # would multiply instantaneous density by N and blow the
+    # time-proximity joins up quadratically (N^2 qualifying pairs) —
+    # a harness artifact, not a property of a corpus 100x the size.
+    "events": (f"(s.event_id + t.i*{E}) AS event_id, "
+               "(s.ts + t.i * INTERVAL 1 DAY) AS ts"),
 }
 
 for table, repl in plans.items():

@@ -43,13 +43,19 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     memo.getOrElseUpdate((spark, sfDir, name), {
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-        case Some(_) =>
+      df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+        case Some(LongType) =>
           // integer division: `/` is double division in Spark and nanos
           // (~1.7e18) exceed double's 53-bit mantissa — a rounding ulp
           // would shift the microsecond vs DuckDB's native nanos read
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case None => df
+        case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+          // a micros-NTZ layout (e.g. a table round-tripped through
+          // another engine's writer) reads as TIMESTAMP_NTZ, which
+          // time arithmetic like unix_micros rejects; the session is
+          // pinned UTC, so the cast is value-preserving
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
       }
     })
 
