@@ -21,7 +21,11 @@ R3_EXCLUDED = ["doc_fingerprint", "langid_confusion", "quality_scores"]
 
 METHOD = (
     "scripts/gen_scale.py replicates sf0.1 Nx (fact keys shifted "
-    "consistently, dims fixed); graft.Bench runs spark and the DuckDB "
+    "consistently, dims fixed; event timestamps shifted 1 day/replica, "
+    "so per-instant event density grows ~min(N, 30)x — saturating at "
+    "the base table's ~30-day span — and time-proximity join work "
+    "grows ~min(N,30)*N, superlinear but far below the N^2 of "
+    "identical-timestamp replication); graft.Bench runs spark and the DuckDB "
     "oracle on the same box minutes apart at each point; ratios use the "
     "WARM DuckDB wall (least favorable to Spark). Single-machine "
     "local[32]; absolute walls vary with box load (observed +/-50-80%) "

@@ -33,11 +33,15 @@ plans = {
     "part": f"(s.p_partkey + t.i*{P}) AS p_partkey",
     "documents": f"(s.doc_id + t.i*{D}) AS doc_id",
     "embeddings": f"(s.vec_id + t.i*{V}) AS vec_id",
-    # ts shifts one day per replica: growth means MORE DAYS OF HISTORY
-    # at the same per-instant density. Replicating identical timestamps
-    # would multiply instantaneous density by N and blow the
-    # time-proximity joins up quadratically (N^2 qualifying pairs) —
-    # a harness artifact, not a property of a corpus 100x the size.
+    # ts shifts one day per replica so growth mostly means MORE DAYS OF
+    # HISTORY rather than denser instants. The base sf0.1 events span
+    # ~30 days, so per-instant density still grows with N but saturates
+    # at ~span/shift (~30x) once N >= 30 — it does NOT stay constant.
+    # Replicating identical timestamps would be worse: instantaneous
+    # density x N and time-proximity joins blowing up quadratically
+    # (N^2 qualifying pairs) — a harness artifact, not a property of a
+    # corpus 100x the size. With the 1-day shift, proximity-join work
+    # grows ~min(N, 30) * N instead of N^2.
     "events": (f"(s.event_id + t.i*{E}) AS event_id, "
                "(s.ts + t.i * INTERVAL 1 DAY) AS ts"),
 }
