@@ -63,34 +63,51 @@ object Pii {
   /** Detect + mask every PII kind in one compiled UDF call, returning
     * struct<n_emails, n_phones, n_urls, masked>. EXACTLY equals the
     * per-kind count + [[mask]] composition (spec-asserted): counts are
-    * raw-text matcher sweeps — so an email inside a URL query string
+    * raw-text match counts — so an email inside a URL query string
     * still counts as an email, as `regexp_extract_all` would — and the
-    * mask is one alternation pass, URL branch first. Four allocation-
-    * free matcher sweeps + one output build, vs the composition's
-    * eight scans with three intermediate full-string rebuilds — the
-    * multi-regexp formulation was 5× DuckDB at the 100× scale point
-    * (round-4 audit). Row-local, linear scale-out. */
+    * mask is one alternation pass, URL branch first.
+    *
+    * ONE matcher sweep total (r5 audit item #6; the earlier form swept
+    * the text four times and sat at ~3× DuckDB at the 10× point): the
+    * alternation pass both builds the mask and counts by group id, and
+    * raw-count parity for nested matches comes from re-scanning only
+    * the MATCHED SPANS (a phone can only hide inside an email's local
+    * part, an email or phone only inside a URL; span charsets make
+    * straddling a span boundary impossible since none admit
+    * whitespace). PII spans are sparse, so the sub-scans touch a few
+    * dozen bytes per document, not the document. Row-local, linear
+    * scale-out. */
   private val scrubUdf = udf((s: String) => {
     if (s == null) null
     else {
-      def countOf(p: Pattern): Long = {
-        val m = p.matcher(s); var n = 0L
+      // matches of `p` fully inside [from, to) — region bounds are
+      // hard bounds, matching the raw sweep for the nesting cases
+      // documented above
+      def countIn(p: Pattern, from: Int, to: Int): Long = {
+        val m = p.matcher(s).region(from, to); var n = 0L
         while (m.find()) n += 1L
         n
       }
       val m = scrubPattern.matcher(s)
       val sb = new java.lang.StringBuilder(s.length)
       var last = 0
+      var emails = 0L; var phones = 0L; var urls = 0L
       while (m.find()) {
         sb.append(s, last, m.start())
-        if (m.group(1) != null) sb.append("[URL]")
-        else if (m.group(2) != null) sb.append("[EMAIL]")
-        else sb.append("[PHONE]")
+        if (m.group(1) != null) {
+          sb.append("[URL]"); urls += 1L
+          emails += countIn(emailPattern, m.start(), m.end())
+          phones += countIn(phonePattern, m.start(), m.end())
+        } else if (m.group(2) != null) {
+          sb.append("[EMAIL]"); emails += 1L
+          phones += countIn(phonePattern, m.start(), m.end())
+        } else {
+          sb.append("[PHONE]"); phones += 1L
+        }
         last = m.end()
       }
       sb.append(s, last, s.length)
-      (countOf(emailPattern), countOf(phonePattern), countOf(urlPattern),
-        sb.toString)
+      (emails, phones, urls, sb.toString)
     }
   })
 
