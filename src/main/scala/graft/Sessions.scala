@@ -60,6 +60,13 @@ object Sessions {
       // above core count from ~1 GB of input up; at sf0.1 files are
       // smaller than one split either way, so nothing changes there.
       .config("spark.sql.files.maxPartitionBytes", "33554432")
+      // open-cost floors the split size on SMALL inputs: with the 4 MB
+      // default, a highly-compressed 4.5 MB / 25-row-group text table
+      // scans as 1-2 tasks and every per-row pipeline above it runs
+      // near-serial. 128 KB lets such scans split down to row-group
+      // granularity; at real scale bytesPerCore ≥ maxPartitionBytes so
+      // this floor never engages.
+      .config("spark.sql.files.openCostInBytes", "131072")
       // shuffle joins: build a hash table instead of sorting both
       // sides when one side is small enough (Spark still requires the
       // size asymmetry before it picks SHJ, and AQE can re-plan).

@@ -71,7 +71,14 @@ object Tables {
   def loadParallel(spark: SparkSession, sfDir: String, name: String,
                    parts: Int = 0): DataFrame = {
     val n = if (parts > 0) parts else spark.sparkContext.defaultParallelism
-    load(spark, sfDir, name).repartition(n)
+    val df = load(spark, sfDir, name)
+    // layout-aware: when the file layout already yields enough scan
+    // tasks (multi-row-group files under the 128 KB open-cost floor),
+    // the round-robin repartition is pure waste — it shuffles the full
+    // row width (text columns included) to buy parallelism the scan
+    // already has. Only single-row-group layouts take the shuffle.
+    val natural = df.rdd.getNumPartitions
+    if (natural * 2 >= n) df else df.repartition(n)
   }
 
   /** Register every table as a temp view (for spark.sql entry points). */
