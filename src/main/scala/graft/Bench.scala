@@ -57,6 +57,28 @@ object Bench {
     ((System.nanoTime() - wall0) / 1e9, outcomes)
   }
 
+  /** Load snapshot for the artifact: /proc/loadavg plus a count of
+    * OTHER running JVMs. A detached bench overlapping a measurement
+    * window silently poisoned round 5's absolutes; recording the box
+    * state before and after makes contamination self-disclosing
+    * instead of something a reviewer must reconstruct from timestamps.
+    */
+  private def loadSnapshot(): String = {
+    val la = try {
+      Files.readString(Paths.get("/proc/loadavg")).trim
+        .split("\\s+").take(3).mkString("[", ",", "]")
+    } catch { case _: Throwable => "null" }
+    val selfPid = ProcessHandle.current().pid()
+    val otherJvms = try {
+      import scala.jdk.CollectionConverters._
+      ProcessHandle.allProcesses().iterator().asScala.count { p =>
+        p.pid() != selfPid &&
+          p.info().command().map[Boolean](_.contains("java")).orElse(false)
+      }
+    } catch { case _: Throwable => -1 }
+    s"""{"loadavg_1_5_15":$la,"other_jvms":$otherJvms}"""
+  }
+
   /** Generic untimed warmup — none of these are suite queries. */
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
@@ -102,6 +124,7 @@ object Bench {
       "s11_crud", "salted_join", "s10_append", "s2_jdbc", "ingest_bulk",
       "minhash_bands", "a8_interpolate", "a9_longest_run")
 
+    val loadBefore = loadSnapshot()
     warmup(spark, sfDir)
     // two concurrent passes, SYMMETRIC with the DuckDB baseline (whose
     // two-pass run reports the warm wall): the first pays per-plan
@@ -210,8 +233,9 @@ object Bench {
     // artifact carries a schema_version, and `queries` is explicitly
     // labeled: per-query seconds come from the warm PAR=1 pass (r01/
     // r02 recorded contended concurrent times under the same key).
+    val loadAfter = loadSnapshot()
     val headline =
-      s""""value":${"%.3f".format(wallPar)},"unit":"sec","schema_version":5,"wall_par${par}_postwarm_sec":${"%.3f".format(wallPar)},"wall_par${par}_coldplans_sec":${"%.3f".format(wallParCold)},"wall_seq_warm_sec":${"%.3f".format(wallSeq)},"sum_query_sec":${"%.3f".format(good.map(_._2).sum)},"parallelism":$par,"n_queries":${outSeq.size},"queries_methodology":"seq_warm_par1""""
+      s""""value":${"%.3f".format(wallPar)},"unit":"sec","schema_version":6,"wall_par${par}_postwarm_sec":${"%.3f".format(wallPar)},"wall_par${par}_coldplans_sec":${"%.3f".format(wallParCold)},"wall_seq_warm_sec":${"%.3f".format(wallSeq)},"sum_query_sec":${"%.3f".format(good.map(_._2).sum)},"parallelism":$par,"n_queries":${outSeq.size},"queries_methodology":"seq_warm_par1","load_before":$loadBefore,"load_after":$loadAfter"""
     val json =
       s"""{"metric":"total",$headline,"queries":$qs,"errors":$errs,"errors_par_only":$parOnlyErrs$duck$vector,"sf":"$sfDir"}"""
     Files.writeString(

@@ -74,7 +74,12 @@ final class HttpEmbedder(endpoint: String, override val dim: Int,
         // transient — retrying re-sends the same doomed request
         case e: IllegalStateException => throw e
         case e: IllegalArgumentException => throw e
-        case e: Throwable => lastErr = e
+        // task cancellation must propagate NOW, not after the backoff
+        // sleeps (Spark interrupts the task thread to kill it)
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
+        // fatal JVM errors (OOM, linkage) are never transient
+        case scala.util.control.NonFatal(e) => lastErr = e
       }
       attempt += 1
       if (attempt <= maxRetries)

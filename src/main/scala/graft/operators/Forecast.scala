@@ -59,6 +59,10 @@ object Forecast {
       (0 until Dim).map(i => sum(fs(i) * y).as(s"b_$i"))
     val row = train.filter(y.isNotNull)
       .agg(gramAggs.head, gramAggs.tail: _*).head()
+    // an empty (or all-null-value) training split aggregates to null
+    // sums — fail with a diagnosis, not a bare NPE from getDouble
+    require(!row.isNullAt(0),
+      s"fitRidgeCalendar: empty training split (no non-null '$valCol' rows)")
 
     val a = Array.ofDim[Double](Dim, Dim + 1)
     var idx = 0
