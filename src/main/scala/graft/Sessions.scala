@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CosineSimilarity, DotProduct, L2Distance, RewriteHofCosine}
+import graft.plans.{CosineSimilarity, DotProduct, L2Distance, RewriteCosineTopKToProbes, RewriteHofCosine}
 
 /** Single place for the engine's session config so Verify, Bench and
   * tests agree: UTC (hash parity with the DuckDB oracle), shuffle
@@ -30,6 +30,7 @@ object Sessions {
       new ExpressionInfo(classOf[L2Distance].getName, "graft_l2dist"),
       (children: Seq[Expression]) => L2Distance(children.head, children(1))))
     ext.injectOptimizerRule(_ => RewriteHofCosine)
+    ext.injectOptimizerRule(_ => RewriteCosineTopKToProbes)
   }
 
   def local(cpus: String): SparkSession = {

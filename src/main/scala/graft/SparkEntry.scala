@@ -46,6 +46,11 @@ object SparkEntry {
     * the table, the way a catalog keeps column histograms. Keeps the
     * per-query plan at exactly one scan+shuffle of the big side
     * (Relational.skewJoin's `hotKeys` production path). */
+  /** One cluster-partitioned IVF index build per sf dir (ann_autoswap
+    * — written to a temp dir and registered for the plan-level probe
+    * swap; the build is the one-time indexing cost, not query work). */
+  private val annIndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
   private val hotKeyCache = scala.collection.concurrent.TrieMap.empty[(String, String, String), Seq[Any]]
   private def hotKeyProfile(s: SparkSession, dir: String, table: String,
                             key: String): Seq[Any] =
@@ -1066,6 +1071,44 @@ object SparkEntry {
       s.createDataFrame(Seq((10, 4, 16, recall)))
         .toDF("k", "nprobe", "clusters", "recall")
     }),
+    "ann_autoswap" -> ((s, d) => {
+      // §4 stretch, landed: the PLAN-LEVEL probe swap. The caller
+      // writes the cluster-partitioned index once and registers it;
+      // the query itself is the declarative sql_knn shape — ORDER BY
+      // cosine DESC LIMIT k with NO cluster predicate and no
+      // searchApprox call — and RewriteCosineTopKToProbes injects the
+      // `cluster IN (nprobe nearest)` filter, which partition-prunes
+      // the scan (PlanSpec pins the pruned plan). Same train path and
+      // nprobe as ann_ivf → identical probe set → the same 0.6 pinned
+      // recall; an accidentally non-firing rule would return exact
+      // results (recall 1.0) and break the pin.
+      val path = annIndexCache.getOrElseUpdate(d, {
+        val emb = t(s, d, "embeddings").filter(col("vec_id") =!= 0)
+        val model = graft.operators.VectorIndex.train(emb, "embedding", k = 16,
+          maxIter = 10, maxTrainSamples = 5000)
+        val dir = java.nio.file.Files.createTempDirectory("graft_annidx_").toString
+        graft.operators.VectorIndex.buildAndWrite(emb, "embedding", model, dir)
+        graft.plans.VectorIndexRegistry.register(dir, model, nprobe = 4)
+        dir
+      })
+      val q = queryVec(s, d, 0L)
+      val idx = s.read.parquet(path)
+      import s.implicits._
+      // exact baseline over the UNREGISTERED base table (no cluster
+      // column → the rule cannot fire on it by construction)
+      val exact = graft.operators.VectorSearch
+        .knnExact(t(s, d, "embeddings").filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", q.toSeq, 10)
+        .select("vec_id").as[Long].collect().toSeq
+      val approx = idx
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.cosineFast(col("embedding"), lit(q)).as("score"))
+        .orderBy(desc("score"), col("vec_id")).limit(10)
+        .select("vec_id").as[Long].collect().toSeq
+      val recall = graft.operators.VectorIndex.recallAtK(exact, approx)
+      s.createDataFrame(Seq((10, 4, 16, recall)))
+        .toDF("k", "nprobe", "clusters", "recall")
+    }),
     "jaccard_adjacent" -> ((s, d) => {
       // exact n-gram Jaccard of (doc, doc+1) pairs — equi-join, no
       // all-pairs; DuckDB rebuilds the same shingle sets independently
@@ -1833,6 +1876,10 @@ object SparkEntry {
     // recall re-pinned after the layout-independent train() sample
     // (hash-selected + value-sorted — round-4 advisory): 0.3 → 0.6
     "ann_ivf" -> ("SELECT * FROM (VALUES (CAST(10 AS INT), CAST(4 AS INT), CAST(16 AS INT), CAST(0.6 AS DOUBLE))) AS t(k, nprobe, clusters, recall)"),
+    // same train path + nprobe as ann_ivf → same probe set → same
+    // recall; a silently non-firing swap returns exact results
+    // (recall 1.0) and breaks this pin
+    "ann_autoswap" -> ("SELECT * FROM (VALUES (CAST(10 AS INT), CAST(4 AS INT), CAST(16 AS INT), CAST(0.6 AS DOUBLE))) AS t(k, nprobe, clusters, recall)"),
     // 500-row pin lives in its own file (PinnedOracles.scala)
     "simhash_sketch" -> PinnedOracles.simhashSketchSql,
     "from_json_props" -> ("SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k, " +

@@ -15,7 +15,7 @@ class PlanSpec extends SparkSpec {
 
   // queries that execute driver-side work at plan-build time (k-means
   // fit, collect) — excluded from the sweep, covered by their own specs
-  private val buildTimeExec = Set("ann_ivf")
+  private val buildTimeExec = Set("ann_ivf", "ann_autoswap")
 
   test("filters are pushed into the parquet scan (p3)") {
     val p = plan("p3_eq_filter")
