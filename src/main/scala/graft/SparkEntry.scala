@@ -51,6 +51,28 @@ object SparkEntry {
     * swap; the build is the one-time indexing cost, not query work). */
   private val annIndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** The declarative top-k-cosine query over the registered IVF index
+    * dir for `d` (built+registered on first use). The plan carries NO
+    * cluster predicate in source form; RewriteCosineTopKToProbes
+    * injects the probe filter — used by ann_autoswap's recall check
+    * and dumped by PlanDump as the pruning evidence. */
+  def annSwappedSearch(s: SparkSession, d: String): DataFrame = {
+    val path = annIndexCache.getOrElseUpdate(d, {
+      val emb = t(s, d, "embeddings").filter(col("vec_id") =!= 0)
+      val model = graft.operators.VectorIndex.train(emb, "embedding", k = 16,
+        maxIter = 10, maxTrainSamples = 5000)
+      val dir = java.nio.file.Files.createTempDirectory("graft_annidx_").toString
+      graft.operators.VectorIndex.buildAndWrite(emb, "embedding", model, dir)
+      graft.plans.VectorIndexRegistry.register(dir, model, nprobe = 4)
+      dir
+    })
+    val q = queryVec(s, d, 0L)
+    s.read.parquet(path)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.cosineFast(col("embedding"), lit(q)).as("score"))
+      .orderBy(desc("score"), col("vec_id")).limit(10)
+  }
+
   private val hotKeyCache = scala.collection.concurrent.TrieMap.empty[(String, String, String), Seq[Any]]
   private def hotKeyProfile(s: SparkSession, dir: String, table: String,
                             key: String): Seq[Any] =
@@ -1082,17 +1104,7 @@ object SparkEntry {
       // nprobe as ann_ivf → identical probe set → the same 0.6 pinned
       // recall; an accidentally non-firing rule would return exact
       // results (recall 1.0) and break the pin.
-      val path = annIndexCache.getOrElseUpdate(d, {
-        val emb = t(s, d, "embeddings").filter(col("vec_id") =!= 0)
-        val model = graft.operators.VectorIndex.train(emb, "embedding", k = 16,
-          maxIter = 10, maxTrainSamples = 5000)
-        val dir = java.nio.file.Files.createTempDirectory("graft_annidx_").toString
-        graft.operators.VectorIndex.buildAndWrite(emb, "embedding", model, dir)
-        graft.plans.VectorIndexRegistry.register(dir, model, nprobe = 4)
-        dir
-      })
       val q = queryVec(s, d, 0L)
-      val idx = s.read.parquet(path)
       import s.implicits._
       // exact baseline over the UNREGISTERED base table (no cluster
       // column → the rule cannot fire on it by construction)
@@ -1100,10 +1112,7 @@ object SparkEntry {
         .knnExact(t(s, d, "embeddings").filter(col("vec_id") =!= 0),
           "vec_id", "embedding", q.toSeq, 10)
         .select("vec_id").as[Long].collect().toSeq
-      val approx = idx
-        .select(col("vec_id"),
-          graft.functions.VectorFunctions.cosineFast(col("embedding"), lit(q)).as("score"))
-        .orderBy(desc("score"), col("vec_id")).limit(10)
+      val approx = annSwappedSearch(s, d)
         .select("vec_id").as[Long].collect().toSeq
       val recall = graft.operators.VectorIndex.recallAtK(exact, approx)
       s.createDataFrame(Seq((10, 4, 16, recall)))
