@@ -6,7 +6,9 @@ object RunOne {
     names.split(",").foreach { name =>
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        if (sys.env.contains("SPARK_GRAFT_SHOW")) df.show(100, truncate = false)
+        else df.write.mode("overwrite").format("noop").save()
         println(s"RUNONE $name OK ${(System.nanoTime()-t0)/1e9}s")
       } catch { case e: Throwable =>
         println(s"RUNONE $name FAIL: ${e.getClass.getName}: ${e.getMessage}")

@@ -621,6 +621,45 @@ object SparkEntry {
           round(TimeSeriesOps.rmse(col("avg_value"), col("pred")), 4).as("rmse"),
           round(TimeSeriesOps.smape(col("avg_value"), col("pred")), 4).as("smape"))
     }),
+    "forecast_ar" -> ((s, _) => {
+      // Sequence-model slot (ref modules/price_forecast/train.py
+      // trains an LSTM over sliding lookback windows, dataset.py:52-58):
+      // an AR(7) ridge over the SAME lag-window encoding — the linear
+      // sequence model, evaluated one-step-ahead on the held-out tail
+      // (teacher forcing, the LSTM eval shape). The fit is PER-KEY
+      // (fitRidgePerKey): Gram sums per group in one keyed agg, the
+      // 8×8 solve inside the task — millions of independent series
+      // would train in one scan at 100 TB; the model row broadcast-
+      // joins back for scoring. Deterministic fixture → pinned oracle.
+      val p = 7
+      val daily = TimeSeriesOps.dailyResample(
+        Fixtures.fruitPrices(s).withColumn("fruit", lit("banana")),
+        Seq(col("fruit")), col("date").cast("timestamp"), col("price"))
+      val spine = TimeSeriesOps.toDailySpine(daily, Seq("fruit"), "day", "avg_value")
+      val interp = TimeSeriesOps.interpolateGapLimited(
+        spine, Seq("fruit"), "day", "avg_value", maxGap = 14)
+        .filter(col("avg_value").isNotNull)
+      val lagged = graft.operators.Forecast.lagFeatures(
+        interp, Seq("fruit"), "day", "avg_value", p)
+      val split = TimeSeriesOps.ratioSplit(lagged, Seq("fruit"), "day",
+        (0.8, 0.0, 0.2))
+      val feats = graft.operators.Forecast.arFeatures(p)
+      val models = graft.operators.Forecast.fitRidgePerKey(
+        split.filter(col("split") === "train"), Seq("fruit"), feats,
+        col("avg_value").cast("double"))
+      // the fixture has ONE constant key, so a model join would
+      // constant-fold its equi-condition and plan a nested loop
+      // (PlanSpec bans it) — fold the single model's coefficients as
+      // plan literals instead (bounded driver scalar); the multi-key
+      // broadcast-join scoring path is ForecastSpec-exercised
+      val beta = models.head().getSeq[Double](1).toArray
+      split.filter(col("split") === "test")
+        .withColumn("pred", graft.operators.Forecast.predictLinear(feats, beta))
+        .groupBy("fruit")
+        .agg(count(lit(1)).as("n_eval"),
+          round(TimeSeriesOps.rmse(col("avg_value"), col("pred")), 4).as("rmse"),
+          round(TimeSeriesOps.smape(col("avg_value"), col("pred")), 4).as("smape"))
+    }),
     "salted_join" -> ((s, d) => {
       // hot-key-only skew join: the keys that need salting come from a
       // per-table key profile (hotKeyProfile — computed once, cached,
@@ -1809,6 +1848,11 @@ object SparkEntry {
     "forecast_pipeline" -> ("SELECT * FROM (VALUES ('banana', CAST(113 AS BIGINT), CAST(18.2045 AS DOUBLE), CAST(0.4724 AS DOUBLE))) " +
       "AS t(fruit, n_eval, rmse, smape)"),
     "forecast_ridge" -> ("SELECT * FROM (VALUES ('banana', CAST(24 AS BIGINT), CAST(26.2627 AS DOUBLE), CAST(0.7533 AS DOUBLE))) " +
+      "AS t(fruit, n_eval, rmse, smape)"),
+    // AR(7) one-step-ahead on the same fixture: the sequence model
+    // beats the calendar ridge (rmse 7.28 vs 26.26) as the lookback
+    // window carries the local level the seasonal features can't
+    "forecast_ar" -> ("SELECT * FROM (VALUES ('banana', CAST(23 AS BIGINT), CAST(7.2784 AS DOUBLE), CAST(0.1777 AS DOUBLE))) " +
       "AS t(fruit, n_eval, rmse, smape)"),
     "ingest_bulk" -> ("SELECT * FROM (VALUES (CAST(1553 AS BIGINT), CAST(500 AS BIGINT), CAST(439.59 AS DOUBLE))) " +
       "AS t(n_chunks, n_docs, avg_chunk_chars)"),

@@ -42,55 +42,126 @@ object Forecast {
 
   final val Dim = 6
 
-  /** Fit ridge coefficients on `(dayCol, valCol)` rows: one
-    * aggregation pass computes XᵀX (upper triangle, d(d+1)/2 sums) and
-    * Xᵀy (d sums); the driver solves (XᵀX + λI)β = Xᵀy by Gaussian
-    * elimination with partial pivoting. λ > 0 keeps the solve
-    * well-posed even on degenerate splits (constant day-of-week,
-    * short history). Deterministic up to float-sum order — rounded
-    * metrics downstream absorb the low bits. */
-  def fitRidgeCalendar(train: DataFrame, dayCol: String, valCol: String,
-                       lambda: Double = 1e-3): Array[Double] = {
-    val fs = features(col(dayCol))
-    val y = col(valCol).cast("double")
-    val gramAggs =
-      (for (i <- 0 until Dim; j <- i until Dim)
-        yield sum(fs(i) * fs(j)).as(s"g_${i}_$j")) ++
-      (0 until Dim).map(i => sum(fs(i) * y).as(s"b_$i"))
-    val row = train.filter(y.isNotNull)
-      .agg(gramAggs.head, gramAggs.tail: _*).head()
-    // an empty (or all-null-value) training split aggregates to null
-    // sums — fail with a diagnosis, not a bare NPE from getDouble
-    require(!row.isNullAt(0),
-      s"fitRidgeCalendar: empty training split (no non-null '$valCol' rows)")
+  /** The flattened Gram layout both fits share: the d(d+1)/2 upper
+    * triangle of XᵀX row-major, then the d entries of Xᵀy. */
+  private def gramSums(feats: Seq[Column], y: Column): Seq[Column] = {
+    val d = feats.length
+    (for (i <- 0 until d; j <- i until d)
+      yield sum(feats(i) * feats(j)).as(s"g_${i}_$j")) ++
+      (0 until d).map(i => sum(feats(i) * y).as(s"b_$i"))
+  }
 
-    val a = Array.ofDim[Double](Dim, Dim + 1)
+  /** Solve (XᵀX + λI)β = Xᵀy from the flattened Gram sums by Gaussian
+    * elimination with partial pivoting — d is small (lookback+1 or the
+    * 6 calendar features), so the solve is microseconds wherever it
+    * runs (driver for a pooled fit, inside a task for per-key fits). */
+  private[operators] def solveRidge(d: Int, flat: Int => Double,
+                                    lambda: Double): Array[Double] = {
+    val a = Array.ofDim[Double](d, d + 1)
     var idx = 0
-    for (i <- 0 until Dim; j <- i until Dim) {
-      a(i)(j) = row.getDouble(idx); a(j)(i) = a(i)(j); idx += 1
+    for (i <- 0 until d; j <- i until d) {
+      a(i)(j) = flat(idx); a(j)(i) = a(i)(j); idx += 1
     }
-    (0 until Dim).foreach { i =>
-      a(i)(Dim) = row.getDouble(idx); idx += 1
+    (0 until d).foreach { i =>
+      a(i)(d) = flat(idx); idx += 1
       a(i)(i) += lambda
     }
-    // Gaussian elimination, partial pivoting — d=6, driver-side
-    for (p <- 0 until Dim) {
-      val piv = (p until Dim).maxBy(r => math.abs(a(r)(p)))
+    for (p <- 0 until d) {
+      val piv = (p until d).maxBy(r => math.abs(a(r)(p)))
       val tmp = a(p); a(p) = a(piv); a(piv) = tmp
       require(math.abs(a(p)(p)) > 1e-12, "singular Gram matrix (ridge λ too small?)")
-      for (r <- p + 1 until Dim) {
+      for (r <- p + 1 until d) {
         val f = a(r)(p) / a(p)(p)
-        for (c <- p to Dim) a(r)(c) -= f * a(p)(c)
+        for (c <- p to d) a(r)(c) -= f * a(p)(c)
       }
     }
-    val beta = new Array[Double](Dim)
-    for (p <- (Dim - 1) to 0 by -1) {
-      var s = a(p)(Dim)
-      for (c <- p + 1 until Dim) s -= a(p)(c) * beta(c)
+    val beta = new Array[Double](d)
+    for (p <- (d - 1) to 0 by -1) {
+      var s = a(p)(d)
+      for (c <- p + 1 until d) s -= a(p)(c) * beta(c)
       beta(p) = s / a(p)(p)
     }
     beta
   }
+
+  /** Fit pooled ridge coefficients over arbitrary feature columns: one
+    * aggregation pass computes XᵀX (upper triangle, d(d+1)/2 sums) and
+    * Xᵀy (d sums); the driver solves the (d+1)×(d+1) normal equations.
+    * λ > 0 keeps the solve well-posed even on degenerate splits
+    * (constant day-of-week, short history). Deterministic up to
+    * float-sum order — rounded metrics downstream absorb the low
+    * bits. */
+  def fitRidge(train: DataFrame, feats: Seq[Column], y: Column,
+               lambda: Double = 1e-3): Array[Double] = {
+    val gs = gramSums(feats, y)
+    val row = train.filter(y.isNotNull).agg(gs.head, gs.tail: _*).head()
+    // an empty (or all-null-target) training split aggregates to null
+    // sums — fail with a diagnosis, not a bare NPE from getDouble
+    require(!row.isNullAt(0),
+      "fitRidge: empty training split (no non-null target rows)")
+    solveRidge(feats.length, row.getDouble, lambda)
+  }
+
+  /** One independent ridge model per key group, fully distributed: the
+    * Gram sums are a map-side-combinable groupBy aggregation and the
+    * tiny d×d solve runs inside the task per group — a 100 TB corpus
+    * of millions of series trains every model in ONE scan + one
+    * keyed shuffle, no driver bottleneck, no iteration. Returns
+    * `keys :+ beta array<double>`; groups with no non-null target
+    * simply have no model row. */
+  def fitRidgePerKey(train: DataFrame, keys: Seq[String], feats: Seq[Column],
+                     y: Column, lambda: Double = 1e-3): DataFrame = {
+    val d = feats.length
+    val solve = udf { flat: Seq[Double] =>
+      solveRidge(d, flat, lambda)
+    }
+    train.filter(y.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(array(gramSums(feats, y): _*).as("_gram"))
+      .withColumn("beta", solve(col("_gram")))
+      .drop("_gram")
+  }
+
+  /** Backwards-named calendar fit: pooled ridge on the seasonal
+    * feature set. */
+  def fitRidgeCalendar(train: DataFrame, dayCol: String, valCol: String,
+                       lambda: Double = 1e-3): Array[Double] =
+    fitRidge(train, features(col(dayCol)), col(valCol).cast("double"), lambda)
+
+  /** AR(p) lag features per key: `lag_1..lag_p` columns from ONE keyed
+    * window pass (all lags share the partitioning, Catalyst collapses
+    * them into a single Window operator — one shuffle total); rows
+    * without full lookback history are dropped. This is the sliding-
+    * window input encoding of the reference's sequence model (ref
+    * modules/price_forecast/dataset.py:52-58 builds the same
+    * lookback windows for the LSTM). */
+  def lagFeatures(df: DataFrame, keys: Seq[String], orderCol: String,
+                  valCol: String, p: Int): DataFrame = {
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val lagged = (1 to p).foldLeft(df) { (acc, i) =>
+      acc.withColumn(s"lag_$i", lag(col(valCol), i).over(byKey))
+    }
+    lagged.filter((1 to p).map(i => col(s"lag_$i").isNotNull).reduce(_ && _))
+  }
+
+  /** The AR(p)+intercept feature vector over lagFeatures output. */
+  def arFeatures(p: Int): Seq[Column] =
+    lit(1.0) +: (1 to p).map(i => col(s"lag_$i"))
+
+  /** Row-local scoring against a per-key `beta` array column (from
+    * [[fitRidgePerKey]]): Σ featsᵢ·βᵢ via zip_with/aggregate — d+1
+    * element arrays, no join beyond the caller's model join. */
+  def predictLinear(feats: Seq[Column], betaCol: Column): Column =
+    aggregate(zip_with(array(feats.map(_.cast("double")): _*), betaCol,
+      (f, b) => f * b), lit(0.0), _ + _)
+
+  /** Scoring with driver-held coefficients folded into the plan as
+    * literals — the right shape when there is ONE model (or a bounded
+    * few): a 1-row model join on a constant key would constant-fold
+    * the equi-condition away and plan a nested loop. */
+  def predictLinear(feats: Seq[Column], beta: Array[Double]): Column =
+    feats.zip(beta).map { case (f, b) => f * lit(b) }.reduce(_ + _)
 
   /** Row-local scoring column: β · features(day). The coefficients are
     * plan literals (broadcast with the closure), so prediction adds a

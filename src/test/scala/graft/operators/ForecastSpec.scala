@@ -72,6 +72,74 @@ class ForecastSpec extends SparkSpec {
     assert(math.abs(pred - 5.0) < 0.1, s"degenerate fit predicted $pred, want ~5")
   }
 
+  /** Driver-generated AR(2) series y_t = c + φ1·y_{t-1} + φ2·y_{t-2}
+    * + e_t with seeded white-noise innovations — white noise (not a
+    * deterministic forcing, which has its own lag recurrence and
+    * destroys identifiability) lets OLS recover (c, φ1, φ2) to
+    * O(1/√n). */
+  private def arSeries(key: String, c: Double, phi1: Double, phi2: Double,
+                       n: Int): Seq[(String, Int, Double)] = {
+    val rng = new scala.util.Random(key.hashCode * 31 + 42)
+    val y = Array.ofDim[Double](n)
+    y(0) = c; y(1) = c + 0.5
+    for (t <- 2 until n) y(t) = c + phi1 * y(t - 1) + phi2 * y(t - 2) +
+      0.3 * (rng.nextDouble() - 0.5)
+    (0 until n).map(t => (key, t, y(t)))
+  }
+
+  test("AR lag ridge recovers known AR(2) coefficients") {
+    val df = arSeries("a", 5.0, 0.6, -0.3, 2000)
+      .toDF("k", "t", "y")
+    val lagged = Forecast.lagFeatures(df, Seq("k"), "t", "y", 2)
+    val beta = Forecast.fitRidge(lagged, Forecast.arFeatures(2), col("y"),
+      lambda = 1e-8)
+    // the forcing term is not in the feature set, so recovery is close
+    // but not exact; the AR structure must dominate
+    assert(math.abs(beta(1) - 0.6) < 0.05 && math.abs(beta(2) + 0.3) < 0.05,
+      s"AR coefficients not recovered: ${beta.toSeq}")
+  }
+
+  test("per-key fit trains independent models in one pass") {
+    val df = (arSeries("a", 5.0, 0.6, -0.3, 2000) ++
+      arSeries("b", 2.0, -0.4, 0.2, 2000)).toDF("k", "t", "y")
+    val lagged = Forecast.lagFeatures(df, Seq("k"), "t", "y", 2)
+    val models = Forecast.fitRidgePerKey(lagged, Seq("k"),
+        Forecast.arFeatures(2), col("y"), lambda = 1e-8)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(math.abs(models("a")(1) - 0.6) < 0.05, s"key a: ${models("a")}")
+    assert(math.abs(models("b")(1) + 0.4) < 0.05, s"key b: ${models("b")}")
+  }
+
+  test("per-key fit matches the pooled fit on a single key, any layout") {
+    val df = arSeries("a", 5.0, 0.6, -0.3, 300).toDF("k", "t", "y")
+    val lagged = Forecast.lagFeatures(df, Seq("k"), "t", "y", 2)
+    val pooled = Forecast.fitRidge(lagged, Forecast.arFeatures(2), col("y"))
+    val perKey = Forecast.fitRidgePerKey(lagged.repartition(8), Seq("k"),
+        Forecast.arFeatures(2), col("y"))
+      .head.getSeq[Double](1)
+    pooled.zip(perKey).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-6, s"pooled $x vs per-key $y")
+    }
+  }
+
+  test("one-step-ahead AR beats seasonal-naive on an autoregressive series") {
+    val df = arSeries("a", 5.0, 0.6, -0.3, 400).toDF("k", "t", "y")
+    val lagged = Forecast.lagFeatures(df, Seq("k"), "t", "y", 7)
+    val split = TimeSeriesOps.ratioSplit(lagged, Seq("k"), "t", (0.8, 0.0, 0.2))
+    val models = Forecast.fitRidgePerKey(
+      split.filter(col("split") === "train"), Seq("k"),
+      Forecast.arFeatures(7), col("y"))
+    val arRmse = split.filter(col("split") === "test")
+      .join(models, "k")
+      .withColumn("pred", Forecast.predictLinear(Forecast.arFeatures(7), col("beta")))
+      .agg(TimeSeriesOps.rmse(col("y"), col("pred"))).head.getDouble(0)
+    val naiveRmse = TimeSeriesOps.seasonalNaive(
+        split.filter(col("split") === "test"), Seq("k"), "t", "y", 7)
+      .agg(TimeSeriesOps.rmse(col("y"), col("pred"))).head.getDouble(0)
+    assert(arRmse < naiveRmse,
+      s"AR one-step $arRmse not better than seasonal-naive $naiveRmse")
+  }
+
   test("the harness accommodates an MLlib estimator (GBT on the same features)") {
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.regression.GBTRegressor
