@@ -163,6 +163,41 @@ object Forecast {
   def predictLinear(feats: Seq[Column], beta: Array[Double]): Column =
     feats.zip(beta).map { case (f, b) => f * lit(b) }.reduce(_ + _)
 
+  /** h-step-ahead AR coefficients by closed-form recurrence
+    * composition: where the reference's LSTM rolls its own
+    * predictions back in autoregressively for a horizon forecast (ref
+    * modules/price_forecast/predict.py rollout loop), a LINEAR
+    * sequence model composes exactly — lift β = (β0, β1..βp) to the
+    * (p+1)×(p+1) companion matrix over state [y_t..y_{t-p+1}, 1],
+    * take its h-th power on the driver (p is small), and read the
+    * direct h-step coefficients off the first row. Scoring any
+    * horizon stays ONE row-local dot product over the same lag
+    * features — no per-step passes over the data, no sequential
+    * rollout job. Returns (intercept, coef for y_t..y_{t-p+1}) in
+    * [[arFeatures]] order. */
+  def arRolloutCoefficients(beta: Array[Double], h: Int): Array[Double] = {
+    require(h >= 1, s"horizon must be >= 1, got $h")
+    val p = beta.length - 1
+    val n = p + 1
+    // companion: row 0 = [β1..βp | β0]; rows 1..p-1 shift the state;
+    // row p preserves the constant 1
+    val a = Array.ofDim[Double](n, n)
+    for (i <- 1 to p) a(0)(i - 1) = beta(i)
+    a(0)(n - 1) = beta(0)
+    for (r <- 1 until p) a(r)(r - 1) = 1.0
+    a(n - 1)(n - 1) = 1.0
+    def mul(x: Array[Array[Double]], y: Array[Array[Double]]) = {
+      val z = Array.ofDim[Double](n, n)
+      for (i <- 0 until n; k <- 0 until n if x(i)(k) != 0.0; j <- 0 until n)
+        z(i)(j) += x(i)(k) * y(k)(j)
+      z
+    }
+    var pow = a
+    for (_ <- 2 to h) pow = mul(pow, a)
+    // back to arFeatures order: intercept first, then lag_1..lag_p
+    pow(0)(n - 1) +: (0 until p).map(i => pow(0)(i)).toArray
+  }
+
   /** Row-local scoring column: β · features(day). The coefficients are
     * plan literals (broadcast with the closure), so prediction adds a
     * Project — no join, no shuffle, whole-stage codegen keeps it in

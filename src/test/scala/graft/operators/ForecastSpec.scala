@@ -140,6 +140,41 @@ class ForecastSpec extends SparkSpec {
       s"AR one-step $arRmse not better than seasonal-naive $naiveRmse")
   }
 
+  test("closed-form rollout equals the recursive autoregressive rollout") {
+    val beta = Array(1.2, 0.5, -0.2, 0.1) // intercept + AR(3)
+    val hist = Array(3.0, 2.0, 1.0)       // y_t, y_{t-1}, y_{t-2}
+    var window = hist.toList              // most recent first
+    val recursive = (1 to 5).map { _ =>
+      val nxt = beta(0) + (1 to 3).map(i => beta(i) * window(i - 1)).sum
+      window = nxt :: window
+      nxt
+    }
+    (1 to 5).foreach { h =>
+      val ch = Forecast.arRolloutCoefficients(beta, h)
+      val direct = ch(0) + (1 to 3).map(i => ch(i) * hist(i - 1)).sum
+      assert(math.abs(direct - recursive(h - 1)) < 1e-10,
+        s"h=$h: direct $direct vs recursive ${recursive(h - 1)}")
+    }
+  }
+
+  test("rollout coefficients score as one row-local dot product") {
+    val df = arSeries("a", 5.0, 0.6, -0.3, 600).toDF("k", "t", "y")
+    val lagged = Forecast.lagFeatures(df, Seq("k"), "t", "y", 2)
+    val beta = Forecast.fitRidge(lagged, Forecast.arFeatures(2), col("y"))
+    val c3 = Forecast.arRolloutCoefficients(beta, 3)
+    // row t's lag features are the state (y_{t-1}, y_{t-2}), so the
+    // h=3 coefficients there predict y_{t+2} = lead(y, 2); the
+    // multi-step error must stay bounded (series std ~0.9)
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("t")
+    val rmse3 = lagged
+      .withColumn("y_h3", lead(col("y"), 2).over(byKey))
+      .filter(col("y_h3").isNotNull)
+      .withColumn("pred", Forecast.predictLinear(Forecast.arFeatures(2), c3))
+      .agg(TimeSeriesOps.rmse(col("y_h3"), col("pred"))).head.getDouble(0)
+    assert(rmse3 < 0.5, s"3-step rollout rmse $rmse3 unexpectedly large")
+  }
+
   test("the harness accommodates an MLlib estimator (GBT on the same features)") {
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.regression.GBTRegressor
