@@ -621,6 +621,53 @@ object SparkEntry {
           round(TimeSeriesOps.rmse(col("avg_value"), col("pred")), 4).as("rmse"),
           round(TimeSeriesOps.smape(col("avg_value"), col("pred")), 4).as("smape"))
     }),
+    "quality_classifier" -> ((s, d) => {
+      // Model-based corpus filtering (CCNet/fasttext-style linear
+      // probe), here as RULE DISTILLATION — the standard bootstrap
+      // when no human labels exist: the hand-tuned nonlinear quality
+      // rule (qualityScore: clamped weighted signals) labels the
+      // corpus, and a linear model on the RAW signals (length,
+      // EN-stopword ratio, punct/digit density, mean word length)
+      // learns to approximate it. (The synthetic corpus is uniform
+      // word soup, so catalog labels like lang carry no textual
+      // signal by construction — a rule label is the one honestly
+      // learnable target.) Ridge linear-probability fit on a
+      // deterministic 80% hash split — ONE Gram-agg training scan,
+      // row-local scoring of the held-out 20%, threshold 0.5. At
+      // 100 TB: one scan trains, one scan scores-and-filters; no
+      // iteration, no shuffle beyond the Gram agg. Deterministic →
+      // pinned oracle.
+      val docs = tp(s, d, "documents")
+      val toks = filter(split(lower(col("text")), "\\s+"),
+        t => length(t) > 0)
+      val len = length(col("text")).cast("double")
+      val nToks = greatest(size(toks), lit(1)).cast("double")
+      val stopRatio = size(filter(toks, x => x.isin(
+        "the", "and", "of", "to", "is", "a", "in", "that"))).cast("double") / nToks
+      val punctRatio =
+        (len - length(regexp_replace(col("text"), "[!-/:-@\\[-`{-~]", ""))) /
+          greatest(len, lit(1.0))
+      val digitRatio =
+        (len - length(regexp_replace(col("text"), "[0-9]", ""))) /
+          greatest(len, lit(1.0))
+      val meanWordLen =
+        length(regexp_replace(col("text"), "\\s", "")).cast("double") / nToks
+      val feats = Seq(lit(1.0), least(len / lit(400.0), lit(1.0)),
+        stopRatio, punctRatio, digitRatio, meanWordLen)
+      val y = (TextAnalysis.qualityScore(col("text")) > 0.70).cast("double")
+      val featured = docs
+        .withColumn("_y", y)
+        .withColumn("_train", pmod(xxhash64(col("doc_id")), lit(5)) < 4)
+      val beta = graft.operators.Forecast.fitRidge(
+        featured.filter(col("_train")), feats, col("_y"))
+      featured.filter(!col("_train"))
+        .withColumn("_score",
+          graft.operators.Forecast.predictLinear(feats, beta))
+        .agg(count(lit(1)).as("n_eval"),
+          sum((col("_score") > 0.5).cast("long")).as("n_pred_hq"),
+          round(avg(((col("_score") > 0.5) === (col("_y") === 1.0))
+            .cast("double")), 4).as("accuracy"))
+    }),
     "forecast_ar" -> ((s, _) => {
       // Sequence-model slot (ref modules/price_forecast/train.py
       // trains an LSTM over sliding lookback windows, dataset.py:52-58):
@@ -1854,6 +1901,11 @@ object SparkEntry {
     // window carries the local level the seasonal features can't
     "forecast_ar" -> ("SELECT * FROM (VALUES ('banana', CAST(23 AS BIGINT), CAST(7.2784 AS DOUBLE), CAST(0.1777 AS DOUBLE))) " +
       "AS t(fruit, n_eval, rmse, smape)"),
+    // rule-distillation linear probe: 94 held-out docs, 50 predicted
+    // high-quality, 93.6% agreement with the nonlinear teacher rule
+    // (majority-class base rate at this threshold is ~55%)
+    "quality_classifier" -> ("SELECT * FROM (VALUES (CAST(94 AS BIGINT), CAST(50 AS BIGINT), CAST(0.9362 AS DOUBLE))) " +
+      "AS t(n_eval, n_pred_hq, accuracy)"),
     "ingest_bulk" -> ("SELECT * FROM (VALUES (CAST(1553 AS BIGINT), CAST(500 AS BIGINT), CAST(439.59 AS DOUBLE))) " +
       "AS t(n_chunks, n_docs, avg_chunk_chars)"),
     "webrag_pipeline" -> ("SELECT * FROM (VALUES ('AI 반도체 시장 급성장', CAST(0.4606 AS DOUBLE))," +
