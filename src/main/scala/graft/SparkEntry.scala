@@ -1254,6 +1254,15 @@ object SparkEntry {
         // any id range; see Sampling scaladoc)
         .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")),
+    "mix_temperature" -> ((s, d) =>
+      // temperature-flattened mix (w ∝ √n): rates derived from the
+      // data in integer-exact arithmetic, so the oracle recomputes
+      // them independently — a REAL SQL oracle over a data-dependent
+      // sampling policy, not a pin
+      graft.operators.Sampling.temperatureMix(
+        t(s, d, "documents"), col("doc_id"), col("lang"), budget = 150L)
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")),
     "contamination" -> ((s, d) => {
       // decontamination: corpus docs sharing any word 3-gram with the
       // (simulated) eval set doc_id<5; real pipelines use 8-13-grams —
@@ -1852,6 +1861,15 @@ object SparkEntry {
     "stratified_sample" -> ("SELECT lang, count(*) AS n_sampled FROM documents " +
       "WHERE ((doc_id % 100003) * 2654435761) % 1000 < CASE lang WHEN 'en' THEN 800 WHEN 'fr' THEN 500 WHEN 'es' THEN 250 WHEN 'de' THEN 250 WHEN 'zh' THEN 100 ELSE 0 END " +
       "GROUP BY lang ORDER BY lang"),
+    // recomputes the temperature rates independently: integer sqrt of
+    // the per-domain counts, one integer division — bit-identical to
+    // the Scala derivation, then the same portable hash-mod rule
+    "mix_temperature" -> ("WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), " +
+      "w AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS sw FROM c), " +
+      "r AS (SELECT lang, least(1000, (150 * 1000 * sw) // (CAST((SELECT sum(sw) FROM w) AS BIGINT) * n)) AS rate FROM w) " +
+      "SELECT d.lang, count(*) AS n_sampled FROM documents d JOIN r ON d.lang = r.lang " +
+      "WHERE ((d.doc_id % 100003) * 2654435761) % 1000 < r.rate " +
+      "GROUP BY d.lang ORDER BY d.lang"),
     "contamination" -> ("WITH t AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks)-2, 0)), i -> array_to_string(toks[i:i+2], ' '))) AS sh " +
       "FROM (SELECT doc_id, regexp_extract_all(lower(text), '[가-힣a-z0-9][가-힣a-z0-9\\-_/]+') AS toks FROM documents)), " +
       "ev AS (SELECT DISTINCT unnest(sh) AS s FROM t WHERE doc_id < 5), " +

@@ -36,4 +36,36 @@ object Sampling {
       }
     df.filter(key < rate)
   }
+
+  /** Temperature-flattened training mix (the standard domain
+    * reweighting w_d ∝ n_d^α with α = 0.5): small domains are
+    * upsampled relative to their share so the mix isn't dominated by
+    * the largest source. Per-stratum counts come from ONE aggregation
+    * (the stratum count is bounded — languages/sources, not rows, so
+    * the collect is a bounded driver scalar like the hot-key
+    * profile); the per-mille rates are then derived in INTEGER-EXACT
+    * arithmetic — integer sqrt and a single integer division — so an
+    * independent engine recomputing them from the same counts gets
+    * bit-identical rates (no float-summation-order hazard), and
+    * membership reuses [[systematicSample]]'s portable hash-mod rule.
+    * rate_d = min(1000, budget·1000·isqrt(n_d) / (Σ_e isqrt(n_e) ·
+    * n_d)), i.e. expected picks ≈ budget·w_d. */
+  def temperatureMix(df: DataFrame, idCol: Column, stratumCol: Column,
+                     budget: Long): DataFrame = {
+    def isqrt(n: Long): Long = {
+      var r = math.sqrt(n.toDouble).toLong
+      while ((r + 1) * (r + 1) <= n) r += 1
+      while (r * r > n) r -= 1
+      r
+    }
+    val counts = df.groupBy(stratumCol.as("_s")).agg(count(lit(1)).as("_n"))
+      .collect()
+      .flatMap(r => Option(r.get(0)).map(s => s.toString -> r.getLong(1)))
+    val sumW = counts.map(c => isqrt(c._2)).sum
+    require(sumW > 0, "temperatureMix: empty input")
+    val rates = counts.map { case (s, n) =>
+      s -> math.min(1000L, budget * 1000L * isqrt(n) / (sumW * n))
+    }.toMap
+    systematicSample(df, idCol, stratumCol, rates)
+  }
 }

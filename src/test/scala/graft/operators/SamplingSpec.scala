@@ -29,6 +29,27 @@ class SamplingSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("temperature mix upsamples small domains toward the budget") {
+    // 9000 en vs 1000 zh: proportional sampling would give zh 10% of
+    // the mix; w ∝ √n gives zh √1000/(√9000+√1000) ≈ 25%
+    val skewed = ((1L to 9000L).map(i => (i, "en")) ++
+      (9001L to 10000L).map(i => (i, "zh"))).toDF("id", "lang")
+    val out = Sampling.temperatureMix(skewed, $"id", $"lang", budget = 400L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val total = out.values.sum
+    assert(math.abs(total - 400L) < 80, s"total $total far from budget")
+    val zhShare = out("zh").toDouble / total
+    assert(zhShare > 0.17 && zhShare < 0.33,
+      s"zh share $zhShare not flattened toward ~0.25")
+  }
+
+  test("temperature mix membership is independent of partitioning") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.temperatureMix(df, $"id", $"lang", budget = 300L)
+        .select("id").as[Long].collect().toSet
+    assert(ids(docs) == ids(docs.repartition(17)) && ids(docs).nonEmpty)
+  }
+
   test("unknown strata fall back to the default rate (0 = dropped)") {
     val out = Sampling.systematicSample(docs, $"id", $"lang", Map("fr" -> 900L))
     assert(out.count() == 0)
