@@ -1070,6 +1070,58 @@ object SparkEntry {
           Seq("spark", "window", "dup"))
         .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
         .orderBy(desc("bm25"), col("doc_id")).limit(10)),
+    "url_canonical" -> ((s, d) => {
+      // URL canonicalization for dedup prep (the CommonCrawl/CCNet
+      // pre-step: near-identical pages differ only in tracking params,
+      // fragments, host case, www., trailing slash). Deterministic
+      // messy-URL synthesis (like domain_filter/pii_scrub), then a
+      // regexp canonicalization chain both engines run verbatim; the
+      // synthesized junk is all-tracking params, so the strip never
+      // leaves a dangling '?'/'&' (kept-param re-writing is out of
+      // scope). Exact-dup counting by canonical form follows.
+      val hosts = array(lit("News.Example.COM"), lit("blog.example.org"),
+        lit("Docs.Example.IO"), lit("wiki.example.edu"),
+        lit("Shop.Example.CO"))
+      val raw = t(s, d, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+          when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+          element_at(hosts, (col("doc_id") % 5).cast("int") + 1),
+          lit("/doc/"), (col("doc_id") % 40).cast("string"),
+          when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0, lit("?utm_source=feed&utm_campaign=sync"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, concat(lit("&gclid=g"), col("doc_id")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 1, concat(lit("#sec"), (col("doc_id") % 4).cast("string")))
+            .otherwise(lit(""))).as("url"))
+      val noFrag = regexp_replace(col("url"), "#.*$", "")
+      val noTrack = regexp_replace(noFrag, "[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*", "")
+      val noSlash = regexp_replace(noTrack, "/$", "")
+      val schemeHost = lower(regexp_extract(noSlash, "^[a-zA-Z]+://[^/]*", 0))
+      val rest = regexp_replace(noSlash, "^[a-zA-Z]+://[^/]*", "")
+      val canonical = concat(
+        regexp_replace(schemeHost, "^https://www\\.", "https://"), rest)
+      raw.select(col("url"), canonical.as("canonical"))
+        .groupBy("canonical")
+        .agg(count(lit(1)).as("n_docs"), count_distinct(col("url")).as("n_raw"))
+        .orderBy("canonical")
+    }),
+    "heavy_hitters" -> ((s, d) => {
+      // Misra-Gries frequency sketch (functions/FrequentItems.scala):
+      // O(capacity) state per task, map-side-combined merge of
+      // <=capacity pairs — the 100 TB alternative to shuffling every
+      // distinct key. event_type's 5 distinct keys < capacity 16, so
+      // the sketch is provably exact here and the oracle is the real
+      // GROUP BY (the approximate regime's guarantees are spec-tested
+      // on planted skew in FrequentItemsSpec)
+      import s.implicits._
+      t(s, d, "events").select(col("event_type")).as[String]
+        .select(graft.functions.FrequentItems.column(16).name("hh"))
+        .withColumn("h", explode(col("hh")))
+        .select(col("h._1").as("event_type"), col("h._2").as("est_count"))
+        .orderBy(desc("est_count"), col("event_type"))
+    }),
     "approx_distinct" -> ((s, d) =>
       // HLL++ sketch vs exact distinct: at 100 TB the sketch is the
       // only single-pass no-shuffle-of-values option for cardinality;
@@ -1203,6 +1255,35 @@ object SparkEntry {
       val recall = graft.operators.VectorIndex.recallAtK(exact, approx)
       s.createDataFrame(Seq((10, 4, 16, recall)))
         .toDF("k", "nprobe", "clusters", "recall")
+    }),
+    "ann_pq" -> ((s, d) => {
+      // IVF-PQ: the memory-scale ANN path — 8-byte codes instead of
+      // 4 KB vectors (512× at 1024-dim), ADC candidate scan over the
+      // code column only, exact rerank of the top-64 ids
+      // (operators/ProductQuantizer.scala; recall pinned like ann_ivf
+      // — same probe set, so the IVF 0.6 recall is the ceiling and the
+      // pin breaks if either the probe or the ADC ordering regresses).
+      // rerank=64 of ~4/16 of the corpus keeps the within-probe
+      // ordering loss near zero on this corpus (measured here).
+      val emb = t(s, d, "embeddings").filter(col("vec_id") =!= 0)
+      val q = queryVec(s, d, 0L)
+      import s.implicits._
+      val ivf = graft.operators.VectorIndex.train(emb, "embedding", k = 16,
+        maxIter = 10, maxTrainSamples = 5000)
+      val pqm = graft.operators.ProductQuantizer.train(emb, "embedding", m = 8)
+      val indexed = graft.operators.ProductQuantizer.encodeDf(
+        graft.operators.VectorIndex.assign(emb, "embedding", ivf),
+        "embedding", pqm)
+      val exact = graft.operators.VectorSearch
+        .knnExact(emb, "vec_id", "embedding", q.toSeq, 10)
+        .select("vec_id").as[Long].collect().toSeq
+      val approx = graft.operators.ProductQuantizer
+        .searchPQ(indexed, ivf, pqm, "vec_id", "embedding", q,
+          k = 10, nprobe = 4, rerank = 64)
+        .select("vec_id").as[Long].collect().toSeq
+      val recall = graft.operators.VectorIndex.recallAtK(exact, approx)
+      s.createDataFrame(Seq((10, 4, 8, recall)))
+        .toDF("k", "nprobe", "m", "recall")
     }),
     "jaccard_adjacent" -> ((s, d) => {
       // exact n-gram Jaccard of (doc, doc+1) pairs — equi-join, no
@@ -1651,6 +1732,30 @@ object SparkEntry {
       "FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st GROUP BY 1) " +
       "SELECT doc_id, round(bm25, 4) AS bm25 FROM s " +
       "ORDER BY bm25 DESC, doc_id LIMIT 10"),
+    // real oracle for URL canonicalization: same deterministic messy
+    // synthesis, same regexp chain (DuckDB needs the 'g' flag; Spark
+    // regexp_replace is global by default)
+    "url_canonical" -> ("WITH u AS (SELECT doc_id, " +
+      "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) || " +
+      "(CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) || " +
+      "(['News.Example.COM','blog.example.org','Docs.Example.IO','wiki.example.edu','Shop.Example.CO'])[CAST(doc_id % 5 AS INT) + 1] || " +
+      "'/doc/' || CAST(doc_id % 40 AS VARCHAR) || " +
+      "(CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&utm_campaign=sync' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN '&gclid=g' || CAST(doc_id AS VARCHAR) ELSE '' END) || " +
+      "(CASE WHEN doc_id % 3 = 1 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END) AS url " +
+      "FROM documents), c AS (SELECT url, " +
+      "regexp_replace(lower(regexp_extract(s3, '^[a-zA-Z]+://[^/]*', 0)), '^https://www\\.', 'https://') || " +
+      "regexp_replace(s3, '^[a-zA-Z]+://[^/]*', '') AS canonical FROM (" +
+      "SELECT url, regexp_replace(regexp_replace(regexp_replace(url, '#.*$', ''), " +
+      "'[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*', '', 'g'), '/$', '') AS s3 FROM u)) " +
+      "SELECT canonical, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(count(DISTINCT url) AS BIGINT) AS n_raw " +
+      "FROM c GROUP BY canonical ORDER BY canonical"),
+    // real oracle for the Misra-Gries sketch: exact when capacity >=
+    // distinct (no decrement ever fires), so plain GROUP BY recomputes it
+    "heavy_hitters" -> ("SELECT event_type, CAST(count(*) AS BIGINT) AS est_count " +
+      "FROM events GROUP BY event_type ORDER BY est_count DESC, event_type"),
     // real oracle for the HLL sketch: DuckDB recomputes the exact
     // distinct count; within_5pct = 1 is the sketch-accuracy claim
     "approx_distinct" -> ("SELECT event_type, " +
@@ -2003,6 +2108,10 @@ object SparkEntry {
     // recall; a silently non-firing swap returns exact results
     // (recall 1.0) and breaks this pin
     "ann_autoswap" -> ("SELECT * FROM (VALUES (CAST(10 AS INT), CAST(4 AS INT), CAST(16 AS INT), CAST(0.6 AS DOUBLE))) AS t(k, nprobe, clusters, recall)"),
+    // pinned: measured at sf0.01 under the deterministic train paths
+    // (hash-sampled value-sorted fits); rerank=64 keeps IVF-PQ at the
+    // IVF probe ceiling, so the pin equals ann_ivf's
+    "ann_pq" -> ("SELECT * FROM (VALUES (CAST(10 AS INT), CAST(4 AS INT), CAST(8 AS INT), CAST(0.6 AS DOUBLE))) AS t(k, nprobe, m, recall)"),
     // 500-row pin lives in its own file (PinnedOracles.scala)
     "simhash_sketch" -> PinnedOracles.simhashSketchSql,
     "from_json_props" -> ("SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k, " +
