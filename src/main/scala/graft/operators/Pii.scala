@@ -49,16 +49,109 @@ object Pii {
         emailRe, "[EMAIL]"),
       phoneRe, "[PHONE]")
 
-  /** One alternation pattern for the MASK pass; group number
-    * identifies the placeholder. The URL branch is FIRST so an address
-    * inside a query string resolves as part of its URL — the same
-    * precedence [[mask]] gets from running the URL replace before the
-    * email replace. */
-  private val scrubPattern: Pattern =
-    Pattern.compile(s"($urlRe)|($emailRe)|($phoneRe)")
   private val emailPattern: Pattern = Pattern.compile(emailRe)
   private val phonePattern: Pattern = Pattern.compile(phoneRe)
-  private val urlPattern: Pattern = Pattern.compile(urlRe)
+
+  // ---- hand-rolled scanner for the hot sweep ------------------------
+  // java.util.regex's alternation pass was the remaining cost in
+  // [[scrub]] (~6× DuckDB's RE2 at the 100× bench point): a
+  // backtracking NFA re-tries three branches at every character. The
+  // scanner below walks the text once with O(1) work per char and
+  // reproduces the alternation's semantics EXACTLY — leftmost match
+  // wins; at equal start URL beats email beats phone (the branch
+  // order); greedy-with-backtracking quantifier behavior is replayed
+  // by trying counted repetitions in java's descending order. Parity
+  // is triple-guarded: PiiSpec diffs scrub against the regexp_*
+  // composition (adversarial cases included), the DuckDB oracle
+  // re-runs the composition on the corpus, and the per-kind counts
+  // still come from the java Patterns over matched spans.
+
+  private def isSpaceJ(c: Char): Boolean = // java regex \s, exactly
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  private def isAlphaC(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+  private def isDigitC(c: Char): Boolean = c >= '0' && c <= '9'
+  private def isLocalC(c: Char): Boolean = // [A-Za-z0-9._%+-]
+    isAlphaC(c) || isDigitC(c) || c == '.' || c == '_' || c == '%' ||
+      c == '+' || c == '-'
+  private def isDomainC(c: Char): Boolean = // [A-Za-z0-9.-]
+    isAlphaC(c) || isDigitC(c) || c == '.' || c == '-'
+
+  /** End of `https?://[^\s]+` starting exactly at `i`, or -1. */
+  private def urlEndAt(s: String, i: Int): Int = {
+    val n = s.length
+    var j = i
+    if (j + 4 > n || s.charAt(j) != 'h' || s.charAt(j + 1) != 't' ||
+      s.charAt(j + 2) != 't' || s.charAt(j + 3) != 'p') return -1
+    j += 4
+    if (j < n && s.charAt(j) == 's') j += 1
+    if (j + 3 > n || s.charAt(j) != ':' || s.charAt(j + 1) != '/' ||
+      s.charAt(j + 2) != '/') return -1
+    j += 3
+    val start = j
+    while (j < n && !isSpaceJ(s.charAt(j))) j += 1
+    if (j == start) -1 else j
+  }
+
+  /** End of the phone pattern starting exactly at `i` (s(i)=='+'), or
+    * -1. Counted groups are tried largest-first — java's greedy
+    * backtracking order — and the first full success wins. */
+  private def phoneEndAt(s: String, i: Int): Int = {
+    val n = s.length
+    def digits(p: Int, k: Int): Boolean = {
+      if (p + k > n) return false
+      var q = p
+      while (q < p + k) { if (!isDigitC(s.charAt(q))) return false; q += 1 }
+      true
+    }
+    var a = 3
+    while (a >= 1) {
+      val p = i + 1
+      if (digits(p, a) && p + a < n && s.charAt(p + a) == '-') {
+        var b = 4
+        while (b >= 2) {
+          val q = p + a + 1
+          if (digits(q, b) && q + b < n && s.charAt(q + b) == '-') {
+            var c = 4
+            while (c >= 3) {
+              val r = q + b + 1
+              if (digits(r, c) && r + c < n && s.charAt(r + c) == '-') {
+                val t = r + c + 1
+                if (digits(t, 4)) return t + 4
+              }
+              c -= 1
+            }
+          }
+          b -= 1
+        }
+      }
+      a -= 1
+    }
+    -1
+  }
+
+  /** Email match end given the local run [start, atPos) and
+    * s(atPos)=='@', or -1. The domain `[A-Za-z0-9.-]+` is greedy, so
+    * java backtracks from the longest: the winning split is the
+    * RIGHTMOST '.' inside the domain run with ≥2 letters after it;
+    * the TLD `[A-Za-z]{2,}` then extends greedily. */
+  private def emailEndAt(s: String, atPos: Int): Int = {
+    val n = s.length
+    val d0 = atPos + 1
+    var dE = d0
+    while (dE < n && isDomainC(s.charAt(dE))) dE += 1
+    if (dE == d0) return -1
+    var p = dE - 1
+    while (p >= d0 + 1) { // ≥1 domain char before the '.'
+      if (s.charAt(p) == '.') {
+        var q = p + 1
+        while (q < n && isAlphaC(s.charAt(q))) q += 1
+        if (q - (p + 1) >= 2) return q
+      }
+      p -= 1
+    }
+    -1
+  }
 
   /** Detect + mask every PII kind in one compiled UDF call, returning
     * struct<n_emails, n_phones, n_urls, masked>. EXACTLY equals the
@@ -88,25 +181,53 @@ object Pii {
         while (m.find()) n += 1L
         n
       }
-      val m = scrubPattern.matcher(s)
-      val sb = new java.lang.StringBuilder(s.length)
-      var last = 0
+      val n = s.length
+      val sb = new java.lang.StringBuilder(n)
+      var last = 0 // also the end of the previous match: a find()
+      //             restart treats it as a fresh local-run boundary
       var emails = 0L; var phones = 0L; var urls = 0L
-      while (m.find()) {
-        sb.append(s, last, m.start())
-        if (m.group(1) != null) {
-          sb.append("[URL]"); urls += 1L
-          emails += countIn(emailPattern, m.start(), m.end())
-          phones += countIn(phonePattern, m.start(), m.end())
-        } else if (m.group(2) != null) {
-          sb.append("[EMAIL]"); emails += 1L
-          phones += countIn(phonePattern, m.start(), m.end())
-        } else {
-          sb.append("[PHONE]"); phones += 1L
+      var i = 0
+      while (i < n) {
+        val c = s.charAt(i)
+        var end = -1
+        var kind = 0 // 1=url 2=email 3=phone (the alternation order)
+        if (c == 'h') {
+          end = urlEndAt(s, i); if (end > 0) kind = 1
         }
-        last = m.end()
+        if (kind == 0 && isLocalC(c) &&
+          (i == last || !isLocalC(s.charAt(i - 1)))) {
+          // start of a local-char run: the email branch's outcome is
+          // identical for every start inside one run (local+ always
+          // extends to the run end; the '@' and domain that follow are
+          // shared), so it is decided once here and the run is never
+          // email-rechecked
+          var e = i
+          while (e < n && isLocalC(s.charAt(e))) e += 1
+          if (e < n && s.charAt(e) == '@') {
+            end = emailEndAt(s, e); if (end > 0) kind = 2
+          }
+        }
+        if (kind == 0 && c == '+') {
+          end = phoneEndAt(s, i); if (end > 0) kind = 3
+        }
+        if (kind == 0) i += 1
+        else {
+          sb.append(s, last, i)
+          if (kind == 1) {
+            sb.append("[URL]"); urls += 1L
+            emails += countIn(emailPattern, i, end)
+            phones += countIn(phonePattern, i, end)
+          } else if (kind == 2) {
+            sb.append("[EMAIL]"); emails += 1L
+            phones += countIn(phonePattern, i, end)
+          } else {
+            sb.append("[PHONE]"); phones += 1L
+          }
+          i = end
+          last = end
+        }
       }
-      sb.append(s, last, s.length)
+      sb.append(s, last, n)
       (emails, phones, urls, sb.toString)
     }
   })

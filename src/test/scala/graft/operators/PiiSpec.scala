@@ -35,6 +35,38 @@ class PiiSpec extends SparkSpec {
     assert(m == "see [URL] end")
   }
 
+  test("scanner matches java-regex semantics on adversarial shapes") {
+    // each case targets a specific backtracking/restart behavior the
+    // hand-rolled scanner must reproduce exactly
+    val texts = Seq(
+      "a@b.co-x@y.com",              // match ends mid-run; find() restarts inside the run
+      "+82-10-1234-5678abc@x.com",   // email branch beats phone at the same '+' start
+      "xhttps://a b",                // URL starting mid-local-run
+      "a@@b.com",                    // empty domain -> no email anywhere
+      "+123456-10-1234-5678",        // country-code digit run too long
+      "a@b.com.x12",                 // TLD backtracks to the rightmost valid '.'
+      "a@b.co-uk",                   // TLD run stops at '-'
+      "++a@b.com",                   // '+' chars in the local part
+      "%%@b.c",                      // 1-letter TLD -> no match
+      "+82-10-1234-56789",           // phone match ends, trailing digit survives
+      "h+1-22-333-4444",             // failed URL trigger then phone mid-run
+      "+1-22-333-4444",              // phone flush at end of string
+      "https://x.y/?a=1&b=%20#f g",  // URL eats every non-space char
+      "tab\thttps://a.b\nnext +9-99-999-9999 a_b%c@d.ee end",
+      "a.b@x.y.z.co! and (c@d.org),")
+    val df = texts.toDF("t")
+    val viaScrub = df.select(Pii.scrub(col("t")).as("s"))
+      .select(col("s._1"), col("s._2"), col("s._3"), col("s._4"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val viaParts = df.select(Pii.emailCount(col("t")), Pii.phoneCount(col("t")),
+        Pii.urlCount(col("t")), Pii.mask(col("t")))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    texts.indices.foreach { i =>
+      assert(viaScrub(i) == viaParts(i),
+        s"parity break on '${texts(i)}': scanner=${viaScrub(i)} regex=${viaParts(i)}")
+    }
+  }
+
   test("single-pass scrub equals the per-kind count + mask composition") {
     val texts = Seq(
       "mail a.b+c@sub.example.co.kr or call +82-10-1234-5678, docs at " +
