@@ -1059,7 +1059,12 @@ object SparkEntry {
           round(col("avg_logp"), 4).as("avg_logp"))
         .orderBy("doc_id")),
     "tfidf_terms" -> ((s, d) =>
-      TextAnalysis.tfidfTopTerms(tp(s, d, "documents"), "doc_id", "text", 3)
+      // row-local top-3: the df map rides the closure (vocab-bounded,
+      // guarded), each doc ranks its own tf entries — no (doc,term)
+      // join, no rank-window exchange (TextAnalysisSpec diffs this
+      // form against the window form for equality)
+      TextAnalysis.tfidfTopTermsRowLocal(tp(s, d, "documents"),
+          "doc_id", "text", 3)
         .select(col("doc_id"), col("rnk").cast("bigint").as("rnk"),
           col("tok").as("term"), round(col("tfidf"), 4).as("tfidf"))
         .orderBy("doc_id", "rnk")),

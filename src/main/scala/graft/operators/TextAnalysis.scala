@@ -264,6 +264,50 @@ object TextAnalysis {
       .filter(col("rnk") <= k)
   }
 
+  /** [[tfidfTopTerms]] with the per-doc top-k computed ROW-LOCALLY:
+    * the df table rides the closure as a map and each document ranks
+    * its own (already row-local) tf entries — no (doc,term) explode
+    * into a join, no rank-window exchange; the only shuffle left is
+    * the map-side-combined |vocab|-group df aggregate. Identical
+    * output to the window form (spec-diffed): same IEEE arithmetic
+    * (tf.toDouble * ln(n/df), the window form's exact op sequence)
+    * and the same (tfidf desc, term asc) tie-break.
+    *
+    * Use when the vocabulary is driver/broadcast-bounded — the SAME
+    * assumption [[tfidfTopTerms]]'s `broadcast(dfreq)` already makes —
+    * enforced here by `maxVocab` (fails loudly rather than silently
+    * collecting an unbounded vocab; for open vocabularies use the
+    * window form, whose df table can stay distributed by dropping the
+    * broadcast hint). */
+  def tfidfTopTermsRowLocal(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int, maxVocab: Int = 1 << 20): DataFrame = {
+    val (prof, pairs) = tfPairs(docs, idCol, textCol)
+    val n = prof.count()
+    val dfRows = pairs.groupBy("tok").agg(count(lit(1)).as("df"))
+      .limit(maxVocab + 1).collect()
+    require(dfRows.length <= maxVocab,
+      s"tfidfTopTermsRowLocal: vocabulary exceeds maxVocab=$maxVocab; " +
+        "use the window form for open vocabularies")
+    val dfMap = dfRows.map(r => (r.getString(0), r.getLong(1))).toMap
+    val nD = n.toDouble
+    val topK = udf((tfs: Seq[(String, Long)]) => {
+      val scored = tfs.map { case (tok, tf) =>
+        // StrictMath.log: Catalyst's Log expression evaluates through
+        // StrictMath, and the spec pins bit-identity with the window
+        // form (Math.log's intrinsic differs by an ulp on some inputs)
+        (tok, tf, tf * java.lang.StrictMath.log(nD / dfMap(tok)))
+      }.sortWith { case ((ta, _, sa), (tb, _, sb)) =>
+        if (sa != sb) sa > sb else ta < tb
+      }
+      scored.take(k).zipWithIndex.map { case ((tok, tf, s), i) =>
+        (i + 1, tok, tf, s)
+      }
+    })
+    prof.select(col(idCol), explode(topK(col("tfs"))).as("t"))
+      .select(col(idCol), col("t._2").as("tok"), col("t._3").as("tf"),
+        col("t._4").as("tfidf"), col("t._1").as("rnk"))
+  }
+
   /** One compiled pass per document: doc length + per-query-term
     * counts. A HOF formulation (size(filter(ts, ...)) per term) would
     * re-tokenize per lambda after project-collapse — the measured
