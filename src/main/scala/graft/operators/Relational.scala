@@ -69,14 +69,39 @@ object Relational {
     * Hot keys come from `hotKeys` when the caller already knows them
     * (table statistics / a prior profiling pass — the production path);
     * otherwise one seeded sample-count job over the big side's key
-    * column finds them (column-pruned: reads only `key`). */
+    * column finds them (column-pruned: reads only `key`).
+    *
+    * Salting is GATED on measured skew: a sampled key only counts as
+    * hot when its sampled frequency is ≥ `skewThreshold` × the mean
+    * sampled key frequency. On a uniform corpus the profile comes back
+    * empty and the result is the untouched plain join plan — salting
+    * is never free (wider shuffle key, small-side replication), so it
+    * must not engage without evidence (round-6 audit: uniform-key
+    * salted_join ran 6.8× DuckDB for zero benefit).
+    *
+    * Sample floor: a key is only DETECTABLE when it shows up in the
+    * sample several times, i.e. its true frequency is ≳
+    * `skewThreshold / sampleFraction` rows. At the 1% default that is
+    * a few-hundred-row floor — far below anything that can skew a
+    * shuffle partition, but callers profiling corpora where a "hot"
+    * key is still rare in absolute terms must raise `sampleFraction`
+    * (or pass `hotKeys` from real table statistics) or the gate
+    * silently (and harmlessly — the result is identical either way)
+    * falls back to the plain join. */
   def skewJoin(big: DataFrame, small: DataFrame, key: String,
                saltFactor: Int, sampleFraction: Double = 0.01,
                hotKeyCount: Int = 16, seed: Long = 42L,
-               hotKeys: Option[Seq[Any]] = None): DataFrame = {
+               hotKeys: Option[Seq[Any]] = None,
+               skewThreshold: Double = 4.0): DataFrame = {
     val hot = hotKeys.getOrElse {
-      big.sample(withReplacement = false, sampleFraction, seed)
+      val prof = big.sample(withReplacement = false, sampleFraction, seed)
         .groupBy(key).count()
+      // two bounded driver results: the mean sampled frequency (one
+      // distributed agg) and the gated top-k (distributed TakeOrdered)
+      val mean = prof.agg(avg("count")).collect().headOption
+        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+        .getOrElse(0.0)
+      prof.filter(col("count") >= lit(mean * skewThreshold))
         .orderBy(desc("count"), col(key))
         .limit(hotKeyCount)
         .select(key).collect().map(_.get(0)).toSeq

@@ -66,6 +66,23 @@ class RelationalSpec extends SparkSpec {
     assert(preStats == plain)
   }
 
+  test("skewJoin gates salting on measured skew: uniform keys emit the plain join plan") {
+    // 50 keys × 8 rows each — no key can reach 4× the mean sampled
+    // frequency (max possible count 8 < 4×mean 16), so the profile is
+    // empty for ANY sample outcome and the plan must be the untouched
+    // plain join: no _salt column, no small-side explode
+    val big = (1 to 400).map(i => (i % 50 + 1L, i.toDouble)).toDF("k", "v")
+    val small = (1L to 50L).map(k => (k, s"t$k")).toDF("k", "tag")
+    val gated = Relational.skewJoin(big, small, "k", saltFactor = 4,
+      sampleFraction = 0.5)
+    val plan = gated.queryExecution.analyzed.toString
+    assert(!plan.contains("_salt") && !plan.toLowerCase.contains("explode"))
+    val out = gated.groupBy("tag").count().as[(String, Long)].collect().toMap
+    val plain = big.join(small, "k").groupBy("tag").count()
+      .as[(String, Long)].collect().toMap
+    assert(out == plain)
+  }
+
   test("cumulativeBudget keeps the boundary row (truncate-last semantics)") {
     val docs = Seq((1L, 500L), (2L, 400L), (3L, 300L), (4L, 200L)).toDF("id", "len")
     val out = Relational.cumulativeBudget(docs, Seq(desc("len"), $"id"), $"len", 1000L)
