@@ -78,6 +78,122 @@ object ProfileAdhoc {
         .orderBy("event_type")
     }
 
+    val docs = Tables.loadParallel(spark, sfDir, "documents")
+    time("docs_scan_only", reps)(docs.agg(sum(length(col("text")))))
+    time("docs_split_builtin", reps)(
+      docs.select(size(split(lower(col("text")), "\\s+")).as("n")).agg(sum("n")))
+    val tfUdf = udf((text: String) => {
+      if (text == null) Array.empty[(String, Long)]
+      else {
+        val toks = text.toLowerCase.split("\\s+")
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        var i = 0
+        while (i < toks.length) {
+          val t = toks(i)
+          if (t.nonEmpty) m.update(t, m.getOrElse(t, 0L) + 1L)
+          i += 1
+        }
+        m.toArray
+      }
+    })
+    time("docs_tf_udf", reps)(
+      docs.select(col("doc_id"), tfUdf(col("text")).as("tfs"))
+        .agg(sum(size(col("tfs")))))
+    time("docs_tf_udf_checkpoint", reps)(
+      docs.select(col("doc_id"), tfUdf(col("text")).as("tfs"))
+        .localCheckpoint().agg(sum(size(col("tfs")))))
+    val tfScanUdf = udf((text: String) => {
+      if (text == null) Array.empty[(String, Long)]
+      else {
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        val n = text.length
+        var i = 0
+        while (i < n) {
+          // skip java-\s whitespace (ASCII-only, regex-parity)
+          var c = text.charAt(i)
+          while (i < n && (c == ' ' || (c >= '\t' && c <= '\r'))) {
+            i += 1; if (i < n) c = text.charAt(i)
+          }
+          if (i < n) {
+            val start = i
+            while (i < n && { val ch = text.charAt(i)
+              !(ch == ' ' || (ch >= '\t' && ch <= '\r')) }) i += 1
+            val tok = text.substring(start, i).toLowerCase
+            m.update(tok, m.getOrElse(tok, 0L) + 1L)
+          }
+        }
+        m.toArray
+      }
+    })
+    time("docs_tf_scan_udf", reps)(
+      docs.select(col("doc_id"), tfScanUdf(col("text")).as("tfs"))
+        .agg(sum(size(col("tfs")))))
+    time("lm_rowlocal_proto", reps) {
+      val pairs = docs.select(col("doc_id"), explode(tfScanUdf(col("text"))).as("kv"))
+        .select(col("kv._1").as("tok"), col("kv._2").as("tf"))
+      val vocabRows = pairs.groupBy("tok").agg(sum("tf").as("cnt")).collect()
+      val total = vocabRows.map(_.getLong(1)).sum.toDouble
+      val logp = vocabRows.map(r => (r.getString(0),
+        java.lang.StrictMath.log(r.getLong(1) / total))).toMap
+      val score = udf((tfs: Seq[(String, Long)]) => {
+        var n = 0L; var s = 0.0
+        tfs.foreach { case (tok, tf) => n += tf; s += tf * logp(tok) }
+        (n, if (n == 0) Double.NaN else s / n)
+      })
+      docs.select(col("doc_id"), score(tfScanUdf(col("text"))).as("r"))
+        .select(col("doc_id"), col("r._1").as("n_tokens"),
+          round(col("r._2"), 4).as("avg_logp"))
+        .orderBy("doc_id")
+    }
+    time("lm_score_full", reps)(
+      graft.operators.TextAnalysis.corpusLmScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_logp"), 4).as("avg_logp"))
+        .orderBy("doc_id"))
+
+    time("lm_rowlocal_real_noorder", reps)(
+      graft.operators.TextAnalysis.corpusLmScoreRowLocal(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_logp"), 4).as("avg_logp")))
+    locally {
+      val vocabRows = docs
+        .select(explode(graft.operators.TextAnalysis.tfPairsCol(col("text"))).as("kv"))
+        .groupBy(col("kv._1").as("tok")).agg(sum(col("kv._2")).as("cnt")).collect()
+      val total = vocabRows.iterator.map(_.getLong(1)).sum.toDouble
+      val logp = vocabRows.map(r => (r.getString(0),
+        java.lang.StrictMath.log(r.getLong(1) / total))).toMap
+      val score = udf((tfs: Seq[(String, Long)]) => {
+        var n = 0L; var s = 0.0
+        tfs.foreach { case (tok, tf) => n += tf; s += tf * logp(tok) }
+        (n, s / n)
+      })
+      def scored(src: DataFrame) =
+        src.select(col("doc_id"),
+            score(graft.operators.TextAnalysis.tfPairsCol(col("text"))).as("r"))
+          .filter(col("r._1") > 0L)
+          .select(col("doc_id"), col("r._1").as("n_tokens"),
+            round(col("r._2"), 4).as("avg_logp"))
+      time("lm_scorepass_noorder", reps)(scored(docs))
+      time("lm_scorepass_postsort", reps)(scored(docs).orderBy("doc_id"))
+      time("lm_scorepass_presort", reps)(scored(docs.orderBy("doc_id")))
+    }
+    time("lm_rowlocal_real", reps)(
+      graft.operators.TextAnalysis.corpusLmScoreRowLocal(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_logp"), 4).as("avg_logp"))
+        .orderBy("doc_id"))
+    time("tfidf_rowlocal_real", reps)(
+      graft.operators.TextAnalysis.tfidfTopTermsRowLocal(docs, "doc_id", "text", 3)
+        .select(col("doc_id"), col("rnk").cast("bigint").as("rnk"),
+          col("tok").as("term"), round(col("tfidf"), 4).as("tfidf"))
+        .orderBy("doc_id", "rnk"))
+    time("lm_vocab_pass_limit", reps)(
+      docs.select(graft.operators.TextAnalysis.tfPairsCol(col("text")).as("tfs"))
+        .select(explode(col("tfs")).as("kv"))
+        .groupBy(col("kv._1").as("tok")).agg(sum(col("kv._2")).as("cnt"))
+        .limit(1 << 20))
+    time("docs_count_only", reps)(docs.groupBy().count())
+
     val li = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_extendedprice")
     val ord = Tables.load(spark, sfDir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")

@@ -1088,9 +1088,17 @@ object SparkEntry {
           round(col("r.dup3_frac"), 4).as("dup3_frac"))
         .orderBy("doc_id")),
     "lm_score" -> ((s, d) =>
-      TextAnalysis.corpusLmScore(tp(s, d, "documents"), "doc_id", "text")
+      // row-local scoring: the unigram log-prob map rides the closure
+      // (vocab-bounded, guarded) — no pair explode/join/groupBy;
+      // LmScoreSpec diffs this form against the broadcast-join form
+      TextAnalysis.corpusLmScoreRowLocal(tp(s, d, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"),
           round(col("avg_logp"), 4).as("avg_logp"))
+        // pin the narrow scored rows before the output sort: the
+        // range-sort's sampling pass would otherwise re-execute the
+        // whole scoring scan (measured +1.1 s at the 100× point). The
+        // sort itself only exists for deterministic oracle output.
+        .localCheckpoint()
         .orderBy("doc_id")),
     "tfidf_terms" -> ((s, d) =>
       // row-local top-3: the df map rides the closure (vocab-bounded,
@@ -1101,6 +1109,8 @@ object SparkEntry {
           "doc_id", "text", 3)
         .select(col("doc_id"), col("rnk").cast("bigint").as("rnk"),
           col("tok").as("term"), round(col("tfidf"), 4).as("tfidf"))
+        // pin before the output sort — see lm_score
+        .localCheckpoint()
         .orderBy("doc_id", "rnk")),
     "bm25_search" -> ((s, d) =>
       // lexical retrieval: BM25 top-10 for a 3-term query ('dup' is

@@ -21,4 +21,31 @@ class LmScoreSpec extends SparkSpec {
     assertApprox(s2, math.log(0.1))
     assert(s1 > s2)
   }
+
+  test("row-local form equals the broadcast-join form exactly") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tokens", "avg_logp")
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+    val joined = norm(TextAnalysis.corpusLmScore(docs, "doc_id", "text"))
+    val local = norm(TextAnalysis.corpusLmScoreRowLocal(docs, "doc_id", "text"))
+    assert(joined.nonEmpty)
+    assert(local == joined) // incl. bit-identical avg_logp doubles
+  }
+
+  test("row-local form drops empty-profile docs like the join form") {
+    val docs = Seq((1L, "a b a"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val local = TextAnalysis.corpusLmScoreRowLocal(docs, "id", "text")
+      .select("id").as[Long].collect().toSeq
+    assert(local == Seq(1L))
+  }
+
+  test("row-local form fails loudly when the vocabulary exceeds the bound") {
+    val docs = Seq((1L, "a b c d e f")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.corpusLmScoreRowLocal(docs, "id", "text", maxVocab = 2)
+    }
+    assert(e.getMessage.contains("vocabulary exceeds"))
+  }
 }
