@@ -274,13 +274,24 @@ object Dedup {
     * explode→broadcast-join→groupBy shape materialized every corpus
     * shingle as a row: ~20× slower at the 1.7 GB bench point for
     * identical results.) Callers drop or flag the returned ids before
-    * training. */
+    * training.
+    *
+    * `maxEvalGrams` bounds the driver/broadcast footprint LOUDLY: an
+    * "eval set" that is actually corpus-sized fails with a diagnosis
+    * instead of OOMing the driver (the same contract as tf-idf's
+    * `maxVocab`). The default admits any real benchmark suite; raise
+    * it deliberately if you truly need a larger probe set. */
   def contamination(corpus: DataFrame, evalSet: DataFrame, idCol: String,
-                    textCol: String, shingleN: Int): DataFrame = {
+                    textCol: String, shingleN: Int,
+                    maxEvalGrams: Int = 1 << 24): DataFrame = {
     val evalGrams = evalSet
       .select(explode(array_distinct(
         shingles(tokenize(col(textCol)), shingleN))).as("_sh"))
-      .distinct().collect().map(_.getString(0)).toSet
+      .distinct().limit(maxEvalGrams + 1).collect().map(_.getString(0)).toSet
+    require(evalGrams.size <= maxEvalGrams,
+      s"contamination: eval set exceeds maxEvalGrams=$maxEvalGrams distinct " +
+        s"$shingleN-grams — that is not an eval benchmark; raise maxEvalGrams " +
+        "deliberately or decontaminate with a distributed join instead")
     val bc = evalSet.sparkSession.sparkContext.broadcast(evalGrams)
     val n = shingleN
     val hits = udf { toks: Seq[String] =>

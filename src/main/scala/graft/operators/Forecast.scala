@@ -94,28 +94,37 @@ object Forecast {
   def fitRidge(train: DataFrame, feats: Seq[Column], y: Column,
                lambda: Double = 1e-3): Array[Double] = {
     val gs = gramSums(feats, y)
-    val row = train.filter(y.isNotNull).agg(gs.head, gs.tail: _*).head()
-    // an empty (or all-null-target) training split aggregates to null
-    // sums — fail with a diagnosis, not a bare NPE from getDouble
+    // drop rows with ANY null feature, not just null targets: Spark's
+    // sum skips nulls PER ENTRY, so a null-feature row would be
+    // counted by some Gram sums and not others — silently skewed
+    // coefficients (and an all-null entry NPEs inside the solve)
+    val row = train.filter(completeRow(feats, y)).agg(gs.head, gs.tail: _*).head()
+    // an empty (or all-null) training split aggregates to null sums —
+    // fail with a diagnosis, not a bare NPE from getDouble
     require(!row.isNullAt(0),
-      "fitRidge: empty training split (no non-null target rows)")
+      "fitRidge: empty training split (no complete non-null rows)")
     solveRidge(feats.length, row.getDouble, lambda)
   }
+
+  /** Row predicate: target and every feature non-null — the only rows
+    * a Gram-matrix fit can consume coherently. */
+  private def completeRow(feats: Seq[Column], y: Column): Column =
+    feats.foldLeft(y.isNotNull)((acc, f) => acc && f.isNotNull)
 
   /** One independent ridge model per key group, fully distributed: the
     * Gram sums are a map-side-combinable groupBy aggregation and the
     * tiny d×d solve runs inside the task per group — a 100 TB corpus
     * of millions of series trains every model in ONE scan + one
     * keyed shuffle, no driver bottleneck, no iteration. Returns
-    * `keys :+ beta array<double>`; groups with no non-null target
-    * simply have no model row. */
+    * `keys :+ beta array<double>`; groups with no complete (target +
+    * all features non-null) row simply have no model row. */
   def fitRidgePerKey(train: DataFrame, keys: Seq[String], feats: Seq[Column],
                      y: Column, lambda: Double = 1e-3): DataFrame = {
     val d = feats.length
     val solve = udf { flat: Seq[Double] =>
       solveRidge(d, flat, lambda)
     }
-    train.filter(y.isNotNull)
+    train.filter(completeRow(feats, y))
       .groupBy(keys.map(col): _*)
       .agg(array(gramSums(feats, y): _*).as("_gram"))
       .withColumn("beta", solve(col("_gram")))

@@ -117,7 +117,15 @@ object ProductQuantizer {
         val num = (math.min(1.0, 1.2 * maxTrainSamples / n.toDouble) * den).toLong
         vecs0.filter(pmod(xxhash64(col(embCol), lit(seed)), lit(den)) < lit(num))
       }
-    val pts = vecs.orderBy(col(embCol)).collect().map(_.getSeq[Float](0).toArray)
+    val sampled = vecs.orderBy(col(embCol)).collect().map(_.getSeq[Float](0).toArray)
+    // the hash sample can come back empty on degenerate corpora (e.g.
+    // every embedding identical → one hash value); fall back to a
+    // bounded slice of the unsampled input rather than throwing on
+    // pts(0) — still driver-bounded, still deterministic
+    val pts =
+      if (sampled.nonEmpty) sampled
+      else vecs0.limit(maxTrainSamples).orderBy(col(embCol)).collect()
+        .map(_.getSeq[Float](0).toArray)
     val dim = pts(0).length
     require(m >= 1 && m <= dim, s"PQ train: m=$m outside [1, dim=$dim]")
     val model = PQModel(dim, m, Array.empty)

@@ -53,10 +53,17 @@ object Sampling {
   def temperatureMix(df: DataFrame, idCol: Column, stratumCol: Column,
                      budget: Long): DataFrame = {
     def isqrt(n: Long): Long = {
-      var r = math.sqrt(n.toDouble).toLong
-      while ((r + 1) * (r + 1) <= n) r += 1
-      while (r * r > n) r -= 1
-      r
+      // division-form comparisons: (r+1)² and r² overflow Long near
+      // n = Long.MaxValue; for positive x, x² ≤ n ⟺ x ≤ n/x in
+      // integer arithmetic, so the refinement stays overflow-free at
+      // any count the operator is documented for
+      if (n <= 0L) 0L
+      else {
+        var r = math.max(1L, math.sqrt(n.toDouble).toLong)
+        while (r + 1 <= n / (r + 1)) r += 1
+        while (r > n / r) r -= 1
+        r
+      }
     }
     val counts = df.groupBy(stratumCol.as("_s")).agg(count(lit(1)).as("_n"))
       .collect()
@@ -64,7 +71,12 @@ object Sampling {
     val sumW = counts.map(c => isqrt(c._2)).sum
     require(sumW > 0, "temperatureMix: empty input")
     val rates = counts.map { case (s, n) =>
-      s -> math.min(1000L, budget * 1000L * isqrt(n) / (sumW * n))
+      // BigInt intermediate: budget·1000·isqrt(n) overflows Long once
+      // per-stratum counts reach ~10¹² at a generous budget — exactly
+      // the 100 TB regime this operator targets. The final per-mille
+      // rate is ≤1000, so narrowing back to Long is always safe.
+      s -> (BigInt(budget) * 1000 * isqrt(n) / (BigInt(sumW) * n))
+        .min(1000).toLong
     }.toMap
     systematicSample(df, idCol, stratumCol, rates)
   }

@@ -31,4 +31,17 @@ class QualityClassifierSpec extends SparkSpec {
     assert(nPred > 0L && nPred < nEval,
       s"degenerate prediction: $nPred of $nEval positive")
   }
+
+  test("no held-out score sits near the 0.5 threshold (pinned counts are stable)") {
+    // the pinned n_pred_hq/accuracy depend on a hard _score > 0.5 cut
+    // over float Gram sums whose accumulation order can vary with
+    // shuffle-block arrival; the pin is only trustworthy if every
+    // held-out score clears the threshold by far more than any
+    // summation-order ulp jitter (~1e-12 relative) could move it
+    val minMargin = SparkEntry.qualityClassifierScored(spark, dir)
+      .agg(min(abs(col("_score") - 0.5))).head.getDouble(0)
+    assert(minMargin > 1e-3,
+      f"held-out score within $minMargin%.2e of the 0.5 threshold — " +
+        "pinned counts could flake under different parallelism")
+  }
 }

@@ -98,6 +98,18 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == 2L)
   }
 
+  test("contamination fails loudly when the eval set exceeds the gram bound") {
+    // a corpus-sized "eval set" must not silently be collected to the
+    // driver — same loud-bound contract as tf-idf's maxVocab
+    val evalSet = Seq((100L, "one two three four five six seven eight"))
+      .toDF("id", "text")
+    val corpus = Seq((1L, unrelated)).toDF("id", "text")
+    val e = intercept[IllegalArgumentException](
+      Dedup.contamination(corpus, evalSet, "id", "text", shingleN = 3,
+        maxEvalGrams = 2))
+    assert(e.getMessage.contains("maxEvalGrams"))
+  }
+
   test("hot-bucket guard: an adversarial boilerplate bucket is capped, small buckets unaffected") {
     // 500 identical docs (one LSH bucket per band) + one small near-dup
     // pair — without the cap the hot bucket alone yields 124,750
