@@ -1578,6 +1578,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_nations"))
         .orderBy("region_key")
     }),
+    "s2_mysql_types" -> ((s, _) => {
+      // S2 dialect coverage: the reference's MariaDB serving tables
+      // carry BIT/TINYINT(1) flags, TIME-of-day columns and DATEs that
+      // its Python layer coerces row-by-row (tool_executor.py:156-161,
+      // 227-228; routes.py:2450 medication). Same contract here as
+      // schema-driven column coercions over a JDBC read — Derby
+      // stands in for MariaDB with the same arrival types. Fixture is
+      // deterministic → VALUES oracle.
+      val dir = java.nio.file.Files.createTempDirectory("graft_derby_").toString
+      val url = graft.sources.JdbcSource.derbyUrl(dir)
+      graft.sources.JdbcSource.execute(url, Seq(
+        """CREATE TABLE medication (
+          medication_id INT NOT NULL, name VARCHAR(40), dosage VARCHAR(20),
+          intake_time TIME, alarm_enabled SMALLINT, refill_date DATE)""",
+        "INSERT INTO medication VALUES " +
+          "(1, '혈압약', '5mg', TIME('08:30:45'), 1, DATE('2025-03-01'))," +
+          "(2, '당뇨약', '500mg', TIME('19:05:30'), 0, DATE('2025-04-15'))," +
+          "(3, '유산균', '1정', NULL, 1, NULL)"))
+      graft.sources.MySqlCoercions.normalize(
+          graft.sources.JdbcSource.readTable(s, url, "medication"),
+          bitCols = Seq("ALARM_ENABLED"), timeCols = Seq("INTAKE_TIME"),
+          dateCols = Seq("REFILL_DATE"))
+        .select(col("MEDICATION_ID").cast("bigint").as("medication_id"),
+          col("NAME").as("name"), col("DOSAGE").as("dosage"),
+          col("INTAKE_TIME").as("intake_time"),
+          col("ALARM_ENABLED").as("alarm_enabled"),
+          col("REFILL_DATE").as("refill_date"))
+        .orderBy("medication_id")
+    }),
     "st_dedup" -> ((s, d) => {
       // §2.9: streaming duplicate-arrival dedup as a batch oracle.
       // At-least-once sources re-deliver events; the engine keeps the
@@ -2142,6 +2171,14 @@ object SparkEntry {
     "s10_append" -> ("SELECT * FROM (VALUES (CAST(9 AS BIGINT), CAST(7 AS BIGINT))) AS t(n_chunks, n_docs)"),
     "s11_crud" -> ("SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'u1', CAST(10 AS BIGINT))," +
       "(2, 'u1', 20),(3, 'u2', 99),(4, 'u2', 40)) AS t(id, owner, qty) ORDER BY id"),
+    // deterministic Derby fixture → pinned rows; the coercions under
+    // test (BIT→bool, TIME→'HH:MM' seconds-dropped, DATE→ISO) are the
+    // reference's serving-layer semantics
+    "s2_mysql_types" -> ("SELECT * FROM (VALUES " +
+      "(CAST(1 AS BIGINT), '혈압약', '5mg', '08:30', CAST(TRUE AS BOOLEAN), '2025-03-01'), " +
+      "(CAST(2 AS BIGINT), '당뇨약', '500mg', '19:05', CAST(FALSE AS BOOLEAN), '2025-04-15'), " +
+      "(CAST(3 AS BIGINT), '유산균', '1정', CAST(NULL AS VARCHAR), CAST(TRUE AS BOOLEAN), CAST(NULL AS VARCHAR))) " +
+      "AS t(medication_id, name, dosage, intake_time, alarm_enabled, refill_date) ORDER BY medication_id"),
     "s2_jdbc" -> ("SELECT CAST(n_regionkey AS BIGINT) AS region_key, count(*) AS n_nations " +
       "FROM nation WHERE n_regionkey < 3 GROUP BY 1 ORDER BY 1"),
     "st_dedup" -> ("WITH e AS (SELECT event_id, user_id FROM events WHERE user_id < 8), " +

@@ -42,6 +42,16 @@ object JdbcSource {
     s"jdbc:derby:$dir/db;create=true"
   }
 
+  /** Run DDL/DML statements over a raw connection (fixture setup for
+    * dialect tests; the engine's data path never goes through here). */
+  def execute(url: String, statements: Seq[String]): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try statements.foreach { sql =>
+      val st = conn.createStatement()
+      try st.executeUpdate(sql) finally st.close()
+    } finally conn.close()
+  }
+
   def writeTable(df: DataFrame, url: String, table: String): Unit =
     df.write.format("jdbc")
       .option("url", url).option("dbtable", table)
