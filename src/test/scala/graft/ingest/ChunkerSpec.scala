@@ -76,4 +76,71 @@ class ChunkerSpec extends AnyFunSuite {
       assert(chunks.forall(_.length <= 50), s"oversized chunk for: $text")
     }
   }
+
+  // ---- adversarial parity pins (SURVEY §7.4 fiddliness; round-6
+  // verdict item 6): separator-free runs, overlap≥size, 。-only text ----
+
+  test("overlap >= chunkSize fails loudly (the splitter's own contract)") {
+    // LangChain's RecursiveCharacterTextSplitter raises ValueError for
+    // chunk_overlap > chunk_size; equality is equally unusable (the
+    // slide-back could never make progress) — both are rejected here
+    assertThrows[IllegalArgumentException](Chunker.split("abc def", 100, 100))
+    assertThrows[IllegalArgumentException](Chunker.split("abc def", 100, 150))
+  }
+
+  test("separator-free run: one oversized chunk, byte-identical to the input") {
+    val blob = "x" * 5000
+    assert(Chunker.split(blob, 200, 40) == Seq(blob))
+  }
+
+  test("oversized words between spaces are emitted oversized, small tail kept") {
+    val text = ("a" * 900) + " " + ("b" * 900) + " " + ("c" * 50)
+    val chunks = Chunker.split(text, 200, 40)
+    // every run survives uncut; nothing is silently dropped
+    assert(chunks.exists(_.contains("a" * 900)))
+    assert(chunks.exists(_.contains("b" * 900)))
+    assert(chunks.exists(_.contains("c" * 50)))
+    assert(chunks.forall(c => text.contains(c.replace("\n", ""))
+      || text.contains(c)))
+  }
+
+  test("。-only Korean text splits on 。 with bounded chunks and full coverage") {
+    val sents = (1 to 40).map(i => s"문장${i}입니다。")
+    val text = sents.mkString
+    val chunks = Chunker.split(text, 60, 20)
+    assert(chunks.forall(_.length <= 60))
+    (1 to 40).foreach(i => assert(chunks.exists(_.contains(s"문장${i}입니다")),
+      s"sentence $i missing"))
+    assert(Chunker.split(text, 60, 20) == chunks) // deterministic
+  }
+
+  test("property: substring/order/coverage invariants over mixed separators (200 seeded cases)") {
+    val rnd = new scala.util.Random(7)
+    val seps = Seq("\n\n", "\n", "。", ". ", "? ", "! ", " ")
+    (1 to 200).foreach { iter =>
+      val nWords = 1 + rnd.nextInt(80)
+      val sb = new StringBuilder
+      (1 to nWords).foreach { i =>
+        sb.append(s"w${iter}x$i")
+        if (i < nWords) sb.append(seps(rnd.nextInt(seps.length)))
+      }
+      val text = sb.toString
+      val size = 20 + rnd.nextInt(200)
+      val overlap = rnd.nextInt(math.min(size, 100))
+      val chunks = Chunker.split(text, size, overlap)
+      assert(chunks.nonEmpty)
+      // every chunk is a contiguous substring of the input (merging
+      // never fabricates or reorders content)...
+      chunks.foreach(c => assert(text.contains(c),
+        s"iter $iter: chunk not a substring: '$c'"))
+      // ...chunks appear in input order (unique words → unique chunks)...
+      val positions = chunks.map(text.indexOf)
+      assert(positions == positions.sorted, s"iter $iter: out of order")
+      // ...and nothing is lost: every (unique) word lands in a chunk
+      (1 to nWords).foreach(i =>
+        assert(chunks.exists(_.contains(s"w${iter}x$i")),
+          s"iter $iter: word $i dropped"))
+      assert(Chunker.split(text, size, overlap) == chunks)
+    }
+  }
 }
