@@ -1086,6 +1086,29 @@ object SparkEntry {
           margin = 0.5, simFloor = 0.0, dim = 512))
         .orderBy("marker")
     }),
+    "rag_answer_post" -> ((s, _) => {
+      // §3.1 steps 8-9: the answer post-processing chain —
+      // clean_korean_output (NFC, quote strip, spacing/punct fixes,
+      // ref enhanced_internal_db_service.py:890-909) then
+      // ensure_topic_prefix with the EN→KO term table and the 은/는
+      // particle rule (ref :852-888, applied at :669 and :847).
+      // LLM generation is out of scope (SURVEY §7.4), so the raw
+      // answers are fixture strings that each exercise one rule;
+      // deterministic → golden VALUES oracle.
+      import s.implicits._
+      val post = udf((a: String, t: String) =>
+        SearchPipeline.postprocessAnswer(a, t))
+      Seq(
+        (1L, "은 병렬 처리에 강합니다 ,  맞습니다..", "Self-Attention"),
+        (2L, "\"토큰 단위로 처리합니다\"", "token"),
+        (3L, "Attention is all you need .", "attention"),
+        (4L, "( 주의 )  메커니즘 입니다 !!", ""),
+        (5L, "- 그 다음 시퀀스를 정렬합니다", "sequence model"),
+        (6L, "『장기 의존성을 잘 잡습니다』", "model"))
+        .toDF("case_id", "raw", "topic")
+        .select(col("case_id"), post(col("raw"), col("topic")).as("answer"))
+        .orderBy("case_id")
+    }),
     "langid_confusion" -> ((s, d) =>
       tp(s, d, "documents")
         .withColumn("pred", TextAnalysis.langId(col("text")))
@@ -2144,6 +2167,17 @@ object SparkEntry {
       "AS t(n_chunks, n_docs, avg_chunk_chars)"),
     "webrag_pipeline" -> ("SELECT * FROM (VALUES ('AI 반도체 시장 급성장', CAST(0.4606 AS DOUBLE))," +
       "('전기차 배터리 혁신', 0.0),('금리 동결 전망', -0.0702)) AS t(title, score) ORDER BY score DESC, title"),
+    // golden outputs recorded from the pure postprocess chain (pure
+    // JVM string functions, deterministic): EN→KO topic translation +
+    // 은/는 particle + prefix guarantee + clean_korean_output fixes
+    "rag_answer_post" -> ("SELECT * FROM (VALUES " +
+      "(CAST(1 AS BIGINT), '셀프-어텐션은 병렬 처리에 강합니다, 맞습니다.'), " +
+      "(CAST(2 AS BIGINT), '토큰 단위로 처리합니다'), " +
+      "(CAST(3 AS BIGINT), 'Attention is all you need.'), " +
+      "(CAST(4 AS BIGINT), '(주의) 메커니즘 입니다!'), " +
+      "(CAST(5 AS BIGINT), '시퀀스 모델은 - 그 다음 시퀀스를 정렬합니다'), " +
+      "(CAST(6 AS BIGINT), '모델은 장기 의존성을 잘 잡습니다')) " +
+      "AS t(case_id, answer) ORDER BY case_id"),
     "rag_sources" -> ("SELECT * FROM (VALUES ('S1','2','Self-Attention','Self-Attention',CAST(0.5 AS DOUBLE))," +
       "('S2','4','Transformer','Transformer',0.4892),('S3','1','어텐션 메커니즘','어텐션 메커니즘',0.4606)) " +
       "AS t(marker,id,title,oo,score) ORDER BY marker"),
