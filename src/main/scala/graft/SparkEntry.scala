@@ -2211,7 +2211,7 @@ object SparkEntry {
     "s2_mysql_types" -> ("SELECT * FROM (VALUES " +
       "(CAST(1 AS BIGINT), '혈압약', '5mg', '08:30', CAST(TRUE AS BOOLEAN), '2025-03-01'), " +
       "(CAST(2 AS BIGINT), '당뇨약', '500mg', '19:05', CAST(FALSE AS BOOLEAN), '2025-04-15'), " +
-      "(CAST(3 AS BIGINT), '유산균', '1정', CAST(NULL AS VARCHAR), CAST(TRUE AS BOOLEAN), CAST(NULL AS VARCHAR))) " +
+      "(CAST(3 AS BIGINT), '유산균', '1정', CAST(NULL AS VARCHAR(10)), CAST(TRUE AS BOOLEAN), CAST(NULL AS VARCHAR(10)))) " +
       "AS t(medication_id, name, dosage, intake_time, alarm_enabled, refill_date) ORDER BY medication_id"),
     "s2_jdbc" -> ("SELECT CAST(n_regionkey AS BIGINT) AS region_key, count(*) AS n_nations " +
       "FROM nation WHERE n_regionkey < 3 GROUP BY 1 ORDER BY 1"),

@@ -74,10 +74,16 @@ class PlanSpec extends SparkSpec {
       p.contains("n_regionkey < 3"), p.take(2000))
   }
 
-  test("lm_score: vocab and total attach as broadcast hash joins (no shuffle on the token side)") {
+  test("lm_score: row-local scoring — no join, no keyed shuffle; only the output range sort remains") {
+    // the unigram log-probs ride the closure and the scored rows are
+    // checkpointed before the sort, so the final plan must be just
+    // Sort + range Exchange over the pinned scan — any Join or
+    // hashpartitioning here means the scoring regressed to a
+    // shuffle/join shape
     val p = plan("lm_score")
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
-    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("hashpartitioning"), p.take(2000))
+    assert(p.contains("rangepartitioning"), p.take(2000))
   }
 
   test("domain_filter: blocklist drops via broadcast left-anti join") {
