@@ -12,8 +12,19 @@ run_point() { # sfdir out
     sbt -batch "runMain graft.Bench" 2>&1 | tail -3
 }
 
+idle_wait() { # let loadavg decay so each point s load_before snapshot reflects a genuinely idle box
+  for i in $(seq 1 60); do
+    l=$(cut -d" " -f1 /proc/loadavg)
+    awk "BEGIN{exit !($l < 1.0)}" && return 0
+    sleep 10
+  done
+}
+
+idle_wait
 run_point /root/testdata/sf0.1 /tmp/scale/bench_sf01.json
+idle_wait
 run_point /tmp/scale/x10      /tmp/scale/bench_x10.json
+idle_wait
 run_point /tmp/scale/x100     /tmp/scale/bench_x100.json
 
 python3 scripts/compose_scale.py BENCH_SCALE.json \

@@ -83,11 +83,11 @@ object SparkEntry {
   /** Cached per-(dir, table, key) hot-key profile, gated on measured
     * skew exactly like [[graft.operators.Relational.skewJoin]]'s
     * in-line sampler: a key is hot only at ≥4× the mean sampled key
-    * frequency, so a uniform corpus (the bench testdata) profiles to
-    * EMPTY and salted consumers fall through to the plain join plan.
-    * Sample floor: at 5% a key must carry a few-hundred rows to be
-    * detectable — see the skewJoin Scaladoc for the rare-hot-key
-    * caveat. */
+    * frequency AND ≥16 sampled occurrences (the absolute floor is
+    * what keeps a near-unique key space from faking hot keys out of
+    * sample noise), so a uniform corpus (the bench testdata) profiles
+    * to EMPTY and salted consumers fall through to the plain join
+    * plan. See the skewJoin Scaladoc for the rare-hot-key caveat. */
   private def hotKeyProfile(s: SparkSession, dir: String, table: String,
                             key: String): Seq[Any] =
     hotKeyCache.getOrElseUpdate((dir, table, key), {
@@ -96,7 +96,7 @@ object SparkEntry {
       val mean = prof.agg(avg("count")).collect().headOption
         .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
         .getOrElse(0.0)
-      prof.filter(col("count") >= lit(mean * 4.0))
+      prof.filter(col("count") >= lit(math.max(mean * 4.0, 16.0)))
         .orderBy(desc("count"), col(key))
         .limit(8)
         .select(key).collect().map(_.get(0)).toSeq

@@ -73,26 +73,32 @@ object Relational {
     *
     * Salting is GATED on measured skew: a sampled key only counts as
     * hot when its sampled frequency is ≥ `skewThreshold` × the mean
-    * sampled key frequency. On a uniform corpus the profile comes back
-    * empty and the result is the untouched plain join plan — salting
-    * is never free (wider shuffle key, small-side replication), so it
-    * must not engage without evidence (round-6 audit: uniform-key
-    * salted_join ran 6.8× DuckDB for zero benefit).
+    * sampled key frequency AND ≥ `minSampledCount` occurrences. Both
+    * bounds are needed: on a near-unique key space (mean ≈ 1), sample
+    * noise over millions of keys ALWAYS produces a few keys at 4-6×
+    * the mean — five sampled rows is not evidence of partition-scale
+    * skew, and without the absolute floor the uniform 100× bench
+    * corpus salted eight phantom hot keys. On a uniform corpus the
+    * profile therefore comes back empty and the result is the
+    * untouched plain join plan — salting is never free (wider shuffle
+    * key, small-side replication), so it must not engage without
+    * evidence (round-6 audit: uniform-key salted_join ran 6.8× DuckDB
+    * for zero benefit).
     *
-    * Sample floor: a key is only DETECTABLE when it shows up in the
-    * sample several times, i.e. its true frequency is ≳
-    * `skewThreshold / sampleFraction` rows. At the 1% default that is
-    * a few-hundred-row floor — far below anything that can skew a
-    * shuffle partition, but callers profiling corpora where a "hot"
-    * key is still rare in absolute terms must raise `sampleFraction`
-    * (or pass `hotKeys` from real table statistics) or the gate
-    * silently (and harmlessly — the result is identical either way)
-    * falls back to the plain join. */
+    * Sample floor: a key is only DETECTABLE when its true frequency
+    * is ≳ `minSampledCount / sampleFraction` rows (a few hundred at
+    * the defaults) — far below anything that can skew a shuffle
+    * partition. Callers profiling corpora where a "hot" key is still
+    * rare in absolute terms must raise `sampleFraction` (or pass
+    * `hotKeys` from real table statistics) or the gate silently (and
+    * harmlessly — the result is identical either way) falls back to
+    * the plain join. */
   def skewJoin(big: DataFrame, small: DataFrame, key: String,
                saltFactor: Int, sampleFraction: Double = 0.01,
                hotKeyCount: Int = 16, seed: Long = 42L,
                hotKeys: Option[Seq[Any]] = None,
-               skewThreshold: Double = 4.0): DataFrame = {
+               skewThreshold: Double = 4.0,
+               minSampledCount: Long = 16L): DataFrame = {
     val hot = hotKeys.getOrElse {
       val prof = big.sample(withReplacement = false, sampleFraction, seed)
         .groupBy(key).count()
@@ -101,7 +107,8 @@ object Relational {
       val mean = prof.agg(avg("count")).collect().headOption
         .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
         .getOrElse(0.0)
-      prof.filter(col("count") >= lit(mean * skewThreshold))
+      prof.filter(col("count") >= lit(math.max(mean * skewThreshold,
+          minSampledCount.toDouble)))
         .orderBy(desc("count"), col(key))
         .limit(hotKeyCount)
         .select(key).collect().map(_.get(0)).toSeq
