@@ -75,17 +75,14 @@ object Sessions {
       // 100× scale point; the aggregate after the join never needed
       // the sort order.
       .config("spark.sql.join.preferSortMergeJoin", "false")
-      // broadcast up to 64 MB instead of the 10 MB default: the rule
-      // that matters at 100 TB is "never shuffle the fact side to
-      // join a dimension that fits in an executor", and a filtered
-      // dimension of a few million narrow rows (~60 MB hashed) easily
-      // does — executors are provisioned in GBs. At the 100× bench
-      // point this turns the salted_join/j4 fact-side shuffle (a
-      // ~1 GB exchange of the 6×10⁷-row side) into a map-side hash
-      // probe. Genuinely fact-sized sides stay far above any sane
-      // threshold, so the guardrail against broadcasting a growing
-      // table is unchanged.
-      .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
+      // autoBroadcastJoinThreshold stays at the 10 MB DEFAULT: a
+      // 64 MB static threshold was tried (r7) and REGRESSED the
+      // 170 MB scale point ~50% on the sequential pass — static
+      // size estimates made every mid-size dim a serial driver-side
+      // hash-relation build, while the shuffle it replaced was
+      // already cheap on 32 local cores. AQE converts joins to
+      // broadcast from RUNTIME sizes post-materialization, which is
+      // the right mechanism for "broadcast it when it actually fits".
       // concurrent-suite fairness: FIFO lets one query's wide stage
       // block every other submitted query's tiny tasks; FAIR interleaves
       // (SPARK_GRAFT_SCHED=FIFO restores the default for A/B runs)
