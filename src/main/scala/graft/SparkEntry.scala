@@ -225,23 +225,32 @@ object SparkEntry {
       // literal map, so the second pass is a bare scan+agg with no
       // broadcast-exchange/join stages — measured 2.4× faster than
       // the broadcast-join form at the 100× point (1.05 s → 0.44 s).
-      // High-cardinality key spaces should keep the broadcast-join
-      // form (ForecastSpec exercises it); semantics here match the
-      // inner join exactly: null event_type rows are dropped, null
-      // group means fall out of the map and yield null preds.
+      // High-cardinality key spaces (>1000 groups) fall back to the
+      // broadcast-join form below — same semantics, one more exchange
+      // — instead of failing; the map-literal path stays the fast
+      // case. Semantics match the inner join exactly: null event_type
+      // rows are dropped, null group means fall out of the map and
+      // yield null preds.
       val e = t(s, d, "events")
-      val means = e.groupBy("event_type").agg(avg("value").as("pred"))
-        .limit(1001).collect()
-      require(means.length <= 1000,
-        s"a13_metrics map-literal path needs ≤1000 groups, got ${means.length}+")
-      val entries = means.toSeq
-        .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-        .flatMap(r => Seq(lit(r.getString(0)), lit(r.getDouble(1))))
-      val predOf =
-        if (entries.isEmpty) lit(null).cast("double")
-        else map(entries: _*)(col("event_type"))
-      e.filter(col("event_type").isNotNull)
-        .select(col("value"), predOf.as("pred"))
+      val meansDf = e.groupBy("event_type").agg(avg("value").as("pred"))
+      val means = meansDf.limit(1001).collect()
+      val scored =
+        if (means.length > 1000)
+          e.filter(col("event_type").isNotNull)
+            .join(broadcast(meansDf.filter(col("event_type").isNotNull)),
+              Seq("event_type"))
+            .select(col("value"), col("pred"))
+        else {
+          val entries = means.toSeq
+            .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+            .flatMap(r => Seq(lit(r.getString(0)), lit(r.getDouble(1))))
+          val predOf =
+            if (entries.isEmpty) lit(null).cast("double")
+            else map(entries: _*)(col("event_type"))
+          e.filter(col("event_type").isNotNull)
+            .select(col("value"), predOf.as("pred"))
+        }
+      scored
         .agg(
           round(TimeSeriesOps.rmse(col("value"), col("pred")), 4).as("rmse"),
           round(TimeSeriesOps.r2Agg(col("value"), col("pred")), 6).as("r2"),

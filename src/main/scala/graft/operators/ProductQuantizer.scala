@@ -124,7 +124,7 @@ object ProductQuantizer {
     // pts(0) — still driver-bounded, still deterministic
     val pts =
       if (sampled.nonEmpty) sampled
-      else vecs0.limit(maxTrainSamples).orderBy(col(embCol)).collect()
+      else vecs0.orderBy(col(embCol)).limit(maxTrainSamples).collect()
         .map(_.getSeq[Float](0).toArray)
     val dim = pts(0).length
     require(m >= 1 && m <= dim, s"PQ train: m=$m outside [1, dim=$dim]")

@@ -364,7 +364,16 @@ object TextAnalysis {
     * enforced here by `maxVocab` (fails loudly rather than silently
     * collecting an unbounded vocab; for open vocabularies use the
     * window form, whose df table can stay distributed by dropping the
-    * broadcast hint). */
+    * broadcast hint).
+    *
+    * REQUIRES a deterministic input: `docs` is scanned twice (df fold,
+    * then scoring) with no materialization between — a source that
+    * yields different rows per scan (`sample()`, `limit()` over an
+    * unordered input, an unstable upstream shuffle) can surface a
+    * token at scoring time that the vocab pass never saw. That case
+    * fails loudly (below) instead of a bare NoSuchElementException;
+    * for such inputs use [[tfidfTopTerms]], whose checkpointed
+    * profile is scanned once. */
   def tfidfTopTermsRowLocal(docs: DataFrame, idCol: String, textCol: String,
                             k: Int, maxVocab: Int = 1 << 20): DataFrame = {
     // two direct corpus passes (df fold, then scoring) instead of
@@ -385,7 +394,11 @@ object TextAnalysis {
       // bit-identity with the window form (Math.log's intrinsic
       // differs by an ulp on some inputs)
       val scored = tfProfile(text).toSeq.map { case (tok, tf) =>
-        (tok, tf, tf * java.lang.StrictMath.log(nD / dfMap(tok)))
+        val df = dfMap.getOrElse(tok, throw new IllegalStateException(
+          s"tfidfTopTermsRowLocal: token '$tok' absent from the vocab pass — " +
+            "the input must be deterministic across scans (sample()/limit()/" +
+            "unstable shuffle break this); use the join form tfidfTopTerms"))
+        (tok, tf, tf * java.lang.StrictMath.log(nD / df))
       }.sortWith { case ((ta, _, sa), (tb, _, sb)) =>
         if (sa != sb) sa > sb else ta < tb
       }
@@ -408,7 +421,13 @@ object TextAnalysis {
     * Σ tf·ln(cnt/total) / Σ tf over the same profile in the same
     * order, with ln through StrictMath like Catalyst's Log. Documents
     * with an empty profile (null/empty text) are absent from both.
-    * Use the join form for open vocabularies. */
+    * Use the join form for open vocabularies.
+    *
+    * REQUIRES a deterministic input (same contract as
+    * [[tfidfTopTermsRowLocal]]): two direct scans with no
+    * materialization between — a token the vocab pass never saw fails
+    * loudly at scoring time; use [[corpusLmScore]] for inputs that
+    * vary across scans. */
   def corpusLmScoreRowLocal(docs: DataFrame, idCol: String, textCol: String,
                             maxVocab: Int = 1 << 20): DataFrame = {
     val vocab = vocabMap(docs, textCol, maxVocab, weighted = true)
@@ -428,7 +447,10 @@ object TextAnalysis {
       while (i < prof.length) {
         val (tok, tf) = prof(i)
         n += tf
-        s += tf * logp(tok)
+        s += tf * logp.getOrElse(tok, throw new IllegalStateException(
+          s"corpusLmScoreRowLocal: token '$tok' absent from the vocab pass — " +
+            "the input must be deterministic across scans (sample()/limit()/" +
+            "unstable shuffle break this); use the join form corpusLmScore"))
         i += 1
       }
       (n, s / n) // n == 0 rows are filtered below before this divides meaningfully

@@ -46,7 +46,11 @@ object MySqlCoercions {
     * ("HH:MM:SS") are truncated. */
   def timeToHhMm(c: Column, dt: DataType): Column = dt match {
     case TimestampType | TimestampNTZType => date_format(c, "HH:mm")
-    case StringType => substring(c, 1, 5)
+    case StringType =>
+      // split on ':' rather than fixed positions — a non-padded
+      // arrival like "7:05:59" must yield "07:05", not "7:05:"
+      concat(lpad(split(c, ":").getItem(0), 2, "0"), lit(":"),
+        lpad(split(c, ":").getItem(1), 2, "0"))
     case other => throw new IllegalArgumentException(
       s"timeToHhMm: unsupported arrival type $other")
   }
@@ -55,7 +59,12 @@ object MySqlCoercions {
   def dateToIso(c: Column, dt: DataType): Column = dt match {
     case DateType | TimestampType | TimestampNTZType =>
       date_format(c, "yyyy-MM-dd")
-    case StringType => substring(c, 1, 10)
+    case StringType =>
+      // extract and re-pad the components — "2024-7-5 10:00" must
+      // yield "2024-07-05", not a fixed-width slice of the raw string
+      val part = (i: Int) => regexp_extract(c, "^(\\d+)-(\\d+)-(\\d+)", i)
+      concat(lpad(part(1), 4, "0"), lit("-"),
+        lpad(part(2), 2, "0"), lit("-"), lpad(part(3), 2, "0"))
     case other => throw new IllegalArgumentException(
       s"dateToIso: unsupported arrival type $other")
   }

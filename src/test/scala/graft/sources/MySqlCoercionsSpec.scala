@@ -39,17 +39,31 @@ class MySqlCoercionsSpec extends SparkSpec {
       .as[(Int, String)].collect().toMap
     assert(out == Map(1 -> "08:30", 2 -> "23:59"))
 
-    val str = Seq((1, "07:05:59"), (2, null.asInstanceOf[String])).toDF("id", "t")
+    // non-padded arrivals must re-pad, not slice fixed positions:
+    // "7:05:59" → "07:05", not the malformed "7:05:"
+    val str = Seq((1, "07:05:59"), (2, null.asInstanceOf[String]),
+      (3, "7:05:59"), (4, "9:5:0")).toDF("id", "t")
     val outS = str.select($"id",
         MySqlCoercions.timeToHhMm($"t", StringType).as("s"))
       .as[(Int, Option[String])].collect().toMap
-    assert(outS == Map(1 -> Some("07:05"), 2 -> None))
+    assert(outS == Map(1 -> Some("07:05"), 2 -> None,
+      3 -> Some("07:05"), 4 -> Some("09:05")))
   }
 
   test("dateToIso emits isoformat strings") {
     val d = Seq((1, java.sql.Date.valueOf("2025-03-01"))).toDF("id", "d")
     assert(d.select(MySqlCoercions.dateToIso($"d", DateType)).as[String].head()
       == "2025-03-01")
+
+    // string arrivals: non-padded components re-padded, trailing time
+    // ignored — not a fixed 10-char slice
+    val s = Seq((1, "2024-7-5"), (2, "2024-07-05 10:00:00"),
+      (3, null.asInstanceOf[String])).toDF("id", "d")
+    val outS = s.select($"id",
+        MySqlCoercions.dateToIso($"d", StringType).as("s"))
+      .as[(Int, Option[String])].collect().toMap
+    assert(outS == Map(1 -> Some("2024-07-05"), 2 -> Some("2024-07-05"),
+      3 -> None))
   }
 
   test("normalize fails loudly on unknown columns and unsupported types") {
