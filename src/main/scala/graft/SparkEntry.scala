@@ -226,21 +226,29 @@ object SparkEntry {
       // broadcast-exchange/join stages — measured 2.4× faster than
       // the broadcast-join form at the 100× point (1.05 s → 0.44 s).
       // High-cardinality key spaces (>1000 groups) fall back to the
-      // broadcast-join form below — same semantics, one more exchange
-      // — instead of failing; the map-literal path stays the fast
-      // case. Semantics match the inner join exactly: null event_type
-      // rows are dropped, null group means fall out of the map and
-      // yield null preds.
+      // join form below — same semantics, one more exchange —
+      // instead of failing; the map-literal path stays the fast
+      // case. The fallback persists the aggregate so the probe and
+      // the join share one computation, broadcasts it while the
+      // group count stays driver-safe (≤1M rows of (string, double)
+      // ≈ tens of MB), and degrades to a plain shuffle join beyond
+      // that — never an unbounded broadcast. Semantics match the
+      // inner join exactly: null event_type rows are dropped, null
+      // group means fall out of the map and yield null preds.
       val e = t(s, d, "events")
       val meansDf = e.groupBy("event_type").agg(avg("value").as("pred"))
-      val means = meansDf.limit(1001).collect()
+      val probed = meansDf.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val means = probed.limit(1001).collect()
       val scored =
-        if (means.length > 1000)
+        if (means.length > 1000) {
+          val mj = probed.filter(col("event_type").isNotNull)
+          val right = if (probed.count() <= 1000000L) broadcast(mj) else mj
           e.filter(col("event_type").isNotNull)
-            .join(broadcast(meansDf.filter(col("event_type").isNotNull)),
-              Seq("event_type"))
+            .join(right, Seq("event_type"))
             .select(col("value"), col("pred"))
-        else {
+        } else {
+          probed.unpersist() // map literal already holds the groups
           val entries = means.toSeq
             .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
             .flatMap(r => Seq(lit(r.getString(0)), lit(r.getDouble(1))))

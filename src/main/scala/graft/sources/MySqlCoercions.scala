@@ -43,19 +43,30 @@ object MySqlCoercions {
   /** TIME → "HH:MM" with seconds dropped (the reference's
     * divmod(seconds, 3600) formatting). JDBC TIME arrives as a
     * 1970-01-01 TimestampType clock time; string arrivals
-    * ("HH:MM:SS") are truncated. */
+    * ("HH:MM:SS") are truncated. A string without at least an
+    * "H:M" shape (e.g. "0730", "garbage") maps to null — an
+    * explicit miss, never a fabricated clock time. Hours longer
+    * than two digits are PRESERVED, not truncated: MySQL TIME
+    * ranges to 838:59:59, so "123:45:00" → "123:45". */
   def timeToHhMm(c: Column, dt: DataType): Column = dt match {
     case TimestampType | TimestampNTZType => date_format(c, "HH:mm")
     case StringType =>
       // split on ':' rather than fixed positions — a non-padded
       // arrival like "7:05:59" must yield "07:05", not "7:05:"
-      concat(lpad(split(c, ":").getItem(0), 2, "0"), lit(":"),
-        lpad(split(c, ":").getItem(1), 2, "0"))
+      val h = split(c, ":").getItem(0)
+      val hh = when(length(h) < 2, lpad(h, 2, "0")).otherwise(h)
+      when(c.rlike("^\\d+:\\d{1,2}(:\\d{1,2}(\\.\\d+)?)?$"),
+        concat(hh, lit(":"), lpad(split(c, ":").getItem(1), 2, "0")))
+        .otherwise(lit(null).cast("string"))
     case other => throw new IllegalArgumentException(
       s"timeToHhMm: unsupported arrival type $other")
   }
 
-  /** DATE → ISO "yyyy-MM-dd" string (`isoformat()`). */
+  /** DATE → ISO "yyyy-MM-dd" string (`isoformat()`). A string that
+    * does not lead with a "Y-M-D" shape maps to null rather than the
+    * plausible-looking sentinel "0000-00-00" that an unguarded
+    * regexp_extract ("" on miss) would fabricate. */
+
   def dateToIso(c: Column, dt: DataType): Column = dt match {
     case DateType | TimestampType | TimestampNTZType =>
       date_format(c, "yyyy-MM-dd")
@@ -63,8 +74,10 @@ object MySqlCoercions {
       // extract and re-pad the components — "2024-7-5 10:00" must
       // yield "2024-07-05", not a fixed-width slice of the raw string
       val part = (i: Int) => regexp_extract(c, "^(\\d+)-(\\d+)-(\\d+)", i)
-      concat(lpad(part(1), 4, "0"), lit("-"),
-        lpad(part(2), 2, "0"), lit("-"), lpad(part(3), 2, "0"))
+      when(c.rlike("^\\d+-\\d+-\\d+"),
+        concat(lpad(part(1), 4, "0"), lit("-"),
+          lpad(part(2), 2, "0"), lit("-"), lpad(part(3), 2, "0")))
+        .otherwise(lit(null).cast("string"))
     case other => throw new IllegalArgumentException(
       s"dateToIso: unsupported arrival type $other")
   }

@@ -50,6 +50,20 @@ class MySqlCoercionsSpec extends SparkSpec {
       3 -> Some("07:05"), 4 -> Some("09:05")))
   }
 
+  test("timeToHhMm string guard: malformed → null, MySQL >24h hours preserved") {
+    val str = Seq((1, "0730"), (2, "garbage"), (3, "123:45:00"),
+      (4, "838:59:59"), (5, ""), (6, "12:"), (7, "12:05:00.123"))
+      .toDF("id", "t")
+    val out = str.select($"id",
+        MySqlCoercions.timeToHhMm($"t", StringType).as("s"))
+      .as[(Int, Option[String])].collect().toMap
+    // no ':' shape → null (never a fabricated clock time); hours past
+    // two digits kept whole (MySQL TIME ranges to 838:59:59), not
+    // lpad-truncated to "12:45"
+    assert(out == Map(1 -> None, 2 -> None, 3 -> Some("123:45"),
+      4 -> Some("838:59"), 5 -> None, 6 -> None, 7 -> Some("12:05")))
+  }
+
   test("dateToIso emits isoformat strings") {
     val d = Seq((1, java.sql.Date.valueOf("2025-03-01"))).toDF("id", "d")
     assert(d.select(MySqlCoercions.dateToIso($"d", DateType)).as[String].head()
@@ -64,6 +78,15 @@ class MySqlCoercionsSpec extends SparkSpec {
       .as[(Int, Option[String])].collect().toMap
     assert(outS == Map(1 -> Some("2024-07-05"), 2 -> Some("2024-07-05"),
       3 -> None))
+
+    // malformed non-null strings must NOT become the plausible
+    // sentinel "0000-00-00" — they map to null
+    val bad = Seq((1, "garbage"), (2, "07/05/2024"), (3, ""), (4, "2024"))
+      .toDF("id", "d")
+    val outBad = bad.select($"id",
+        MySqlCoercions.dateToIso($"d", StringType).as("s"))
+      .as[(Int, Option[String])].collect().toMap
+    assert(outBad == Map(1 -> None, 2 -> None, 3 -> None, 4 -> None))
   }
 
   test("normalize fails loudly on unknown columns and unsupported types") {
