@@ -79,6 +79,42 @@ object Bench {
     s"""{"loadavg_1_5_15":$la,"other_jvms":$otherJvms}"""
   }
 
+  /** Idle gate (round 9). BENCH_r08 was measured in the contention
+    * wake of the 1.7 GB scale sweep and reported 13.97× where an idle
+    * box measures 1.49× — a garbage number that nearly mis-drove a
+    * round. The sweep script already idle-gated its points
+    * (run_scale.sh idle_wait); the gate now lives in the runner
+    * itself so EVERY artifact gets it: wait for the 1-min loadavg to
+    * decay below SPARK_GRAFT_IDLE_MAX (default 1.0), polling every
+    * 10 s up to SPARK_GRAFT_IDLE_WAIT_SEC (default 600 s). If the box
+    * never idles, the artifact is still written (the round driver
+    * needs one) but carries "idle_gate":"timeout" — contamination is
+    * machine-readable, not something a reviewer reconstructs from
+    * load_before. Returns the JSON value for the idle_gate key. */
+  private def idleGate(): String = {
+    val max = sys.env.getOrElse("SPARK_GRAFT_IDLE_MAX", "1.0").toDouble
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_IDLE_WAIT_SEC", "600").toInt
+    def load1(): Double = try {
+      Files.readString(Paths.get("/proc/loadavg")).trim
+        .split("\\s+")(0).toDouble
+    } catch { case _: Throwable => 0.0 } // no /proc → gate passes open
+    val t0 = System.nanoTime()
+    var l = load1()
+    while (l >= max && (System.nanoTime() - t0) / 1e9 < budgetSec) {
+      System.err.println(
+        f"[bench] idle gate: loadavg $l%.2f >= $max%.2f, waiting (budget ${budgetSec}s)")
+      Thread.sleep(10000)
+      l = load1()
+    }
+    if (l < max) "\"passed\""
+    else {
+      System.err.println(
+        f"[bench] idle gate TIMEOUT after ${budgetSec}s (loadavg $l%.2f) — " +
+          "artifact is contamination-suspect; do not use for cross-round comparison")
+      "\"timeout\""
+    }
+  }
+
   /** Generic untimed warmup — none of these are suite queries. */
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
@@ -124,6 +160,7 @@ object Bench {
       "s11_crud", "salted_join", "s10_append", "s2_jdbc", "ingest_bulk",
       "minhash_bands", "a8_interpolate", "a9_longest_run")
 
+    val gate = idleGate()
     val loadBefore = loadSnapshot()
     warmup(spark, sfDir)
     // two concurrent passes, SYMMETRIC with the DuckDB baseline (whose
@@ -235,7 +272,7 @@ object Bench {
     // r02 recorded contended concurrent times under the same key).
     val loadAfter = loadSnapshot()
     val headline =
-      s""""value":${"%.3f".format(wallPar)},"unit":"sec","schema_version":6,"wall_par${par}_postwarm_sec":${"%.3f".format(wallPar)},"wall_par${par}_coldplans_sec":${"%.3f".format(wallParCold)},"wall_seq_warm_sec":${"%.3f".format(wallSeq)},"sum_query_sec":${"%.3f".format(good.map(_._2).sum)},"parallelism":$par,"n_queries":${outSeq.size},"queries_methodology":"seq_warm_par1","load_before":$loadBefore,"load_after":$loadAfter"""
+      s""""value":${"%.3f".format(wallPar)},"unit":"sec","schema_version":7,"wall_par${par}_postwarm_sec":${"%.3f".format(wallPar)},"wall_par${par}_coldplans_sec":${"%.3f".format(wallParCold)},"wall_seq_warm_sec":${"%.3f".format(wallSeq)},"sum_query_sec":${"%.3f".format(good.map(_._2).sum)},"parallelism":$par,"n_queries":${outSeq.size},"queries_methodology":"seq_warm_par1","idle_gate":$gate,"load_before":$loadBefore,"load_after":$loadAfter"""
     val json =
       s"""{"metric":"total",$headline,"queries":$qs,"errors":$errs,"errors_par_only":$parOnlyErrs$duck$vector,"sf":"$sfDir"}"""
     Files.writeString(
