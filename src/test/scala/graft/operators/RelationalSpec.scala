@@ -83,6 +83,57 @@ class RelationalSpec extends SparkSpec {
     assert(out == plain)
   }
 
+  test("skewJoin balances the planted-hot-key shuffle (the win salting buys at scale)") {
+    // Planted skew: key 0 carries HALF the corpus. Under a plain
+    // shuffle join every key-0 row lands in ONE shuffle partition —
+    // the straggler task that stalls a 1000-executor stage — while the
+    // salted plan spreads them over saltFactor buckets. The assert is
+    // on the post-join partition row distribution (deterministic),
+    // which is exactly the quantity that decides wall-clock at scale.
+    // AQE and auto-broadcast are disabled for the measurement: AQE's
+    // size-based coalesce would legitimately re-merge these tiny test
+    // partitions, and a broadcast join would dodge the shuffle the
+    // test is about (at scale both sides exceed the broadcast bar).
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevP = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // enough shuffle partitions that 8 salt buckets rarely share one
+    // (the spec session runs with partitions = cores = 4)
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      val n = 100000L
+      val big = spark.range(n).select(
+        when(col("id") % 2 === 0, 0L).otherwise(col("id") % 1000 + 1).as("k"),
+        col("id").cast("double").as("v"))
+      val small = spark.range(1001).select(col("id").as("k"),
+        concat(lit("t"), col("id")).as("tag"))
+      // straggler metric: the HOT key's rows in the fullest join
+      // partition — the task that bounds stage wall-clock at scale
+      def hotMax(df: org.apache.spark.sql.DataFrame): Long =
+        df.filter(col("k") === 0L)
+          .groupBy(spark_partition_id().as("p")).count()
+          .agg(max("count")).head().getLong(0)
+      val plain = big.join(small, Seq("k"))
+      val salted = Relational.skewJoin(big, small, "k", saltFactor = 8,
+        hotKeys = Some(Seq(0L)))
+      val plainMax = hotMax(plain)
+      val saltedMax = hotMax(salted)
+      assert(plainMax >= n / 2, s"expected the hot key in one partition, got $plainMax")
+      assert(saltedMax <= plainMax / 3,
+        s"salted hot-key straggler $saltedMax not meaningfully below plain $plainMax")
+      // and the rebalanced plan is still the same join
+      val pAgg = plain.agg(count(lit(1)), round(sum("v"), 2)).head()
+      val sAgg = salted.agg(count(lit(1)), round(sum("v"), 2)).head()
+      assert(pAgg == sAgg)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      spark.conf.set("spark.sql.shuffle.partitions", prevP)
+    }
+  }
+
   test("cumulativeBudget keeps the boundary row (truncate-last semantics)") {
     val docs = Seq((1L, 500L), (2L, 400L), (3L, 300L), (4L, 200L)).toDF("id", "len")
     val out = Relational.cumulativeBudget(docs, Seq(desc("len"), $"id"), $"len", 1000L)
