@@ -219,7 +219,35 @@ object Bench {
       val tIvf = (System.nanoTime() - t1) / 1e9
       val recall = graft.operators.VectorIndex.recallAtK(exact, approx)
       corpus.unpersist(); indexed.unpersist()
-      s""","vector_n10k_dim1024":{"knn_codegen_sec":${"%.3f".format(tKnn)},"ivf_probe4of32_sec":${"%.3f".format(tIvf)},"ivf_recall_at10":${"%.2f".format(recall)}}"""
+
+      // recall-vs-nprobe curve on a CLUSTERED corpus (round-8 audit
+      // item #4): the uniform-corpus recall above is a smoke number,
+      // not evidence probe pruning is safe — overlapping Gaussian
+      // clusters are where nprobe bites. Same fixture the spec pins
+      // (VectorIndexSpec asserts ≥0.9 at nprobe=4/32).
+      val mog = graft.fixtures.Fixtures
+        .gaussianMixture(spark, 10000, 64, 32, noise = 1.6).cache()
+      mog.count()
+      val mq = mog.filter(col("vec_id") < 8)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getSeq[Float](1).toArray)
+      val mCorpus = mog.filter(col("vec_id") >= 8)
+      val mModel = graft.operators.VectorIndex.train(mCorpus, "embedding", k = 32)
+      val mIdx = graft.operators.VectorIndex.assign(mCorpus, "embedding", mModel).cache()
+      mIdx.count()
+      def mRecall(q: Array[Float], np: Int): Double = {
+        val ex = graft.operators.VectorSearch.knnExact(mCorpus, "vec_id",
+          "embedding", q.toSeq, 10).select("vec_id").as[Long].collect().toSeq
+        val ap = graft.operators.VectorIndex.searchApprox(mIdx, mModel,
+          "vec_id", "embedding", q, 10, np).select("vec_id").as[Long].collect().toSeq
+        graft.operators.VectorIndex.recallAtK(ex, ap)
+      }
+      val curve = Seq(1, 2, 4, 8, 16, 32).map { np =>
+        val r = mq.map(mRecall(_, np)).sum / mq.length
+        s""""nprobe$np":${"%.3f".format(r)}"""
+      }.mkString("{", ",", "}")
+      mog.unpersist(); mIdx.unpersist()
+      s""","vector_n10k_dim1024":{"knn_codegen_sec":${"%.3f".format(tKnn)},"ivf_probe4of32_sec":${"%.3f".format(tIvf)},"ivf_recall_at10":${"%.2f".format(recall)}},"ivf_clustered_recall_at10_mog10k_dim64_k32":$curve"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] vector bench FAILED: ${e.getMessage}"); ""
     }

@@ -210,4 +210,27 @@ object Fixtures {
         regexp_replace(col("price_str"), ",", "").try_cast("double").as("price"))
       .filter(col("date").isNotNull && col("price").isNotNull)
   }
+
+  /** Clustered synthetic embedding corpus: a seeded mixture of
+    * Gaussians — `nCenters` centers with N(0,1) components, each
+    * point = its center (id mod nCenters) + N(0, noise) jitter.
+    * Uniform random embeddings are the WORST case for IVF (no
+    * structure, every probe order equally wrong but also equally
+    * right); a clustered corpus is where nprobe actually bites, so
+    * recall floors must be pinned here, not on the uniform corpus
+    * (round-8 audit item #4). Row-deterministic: every value derives
+    * from (seed, id), never from partition layout. */
+  def gaussianMixture(spark: SparkSession, n: Long, dim: Int,
+                      nCenters: Int, noise: Double,
+                      seed: Long = 7L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val mk = udf { (id: Long) =>
+      val c = (id % nCenters).toInt
+      val ctrRnd = new java.util.Random(seed * 31 + c)
+      val ctr = Array.fill(dim)(ctrRnd.nextGaussian().toFloat)
+      val rnd = new java.util.Random(seed ^ (id * 0x9E3779B97F4A7C15L))
+      Array.tabulate(dim)(i => ctr(i) + (rnd.nextGaussian() * noise).toFloat)
+    }
+    spark.range(n).select(col("id").as("vec_id"), mk(col("id")).as("embedding"))
+  }
 }

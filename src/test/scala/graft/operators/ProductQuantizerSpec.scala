@@ -74,6 +74,38 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(VectorIndex.recallAtK(exact, got) == 1.0, s"exact=$exact got=$got")
   }
 
+  test("IVF-PQ recall floor holds on OVERLAPPING clusters (where pruning bites)") {
+    // The planted corpus above is well-separated (recall must be
+    // exactly 1). This one is the adversarial case (round-8 audit
+    // item #4): Gaussian clusters whose jitter radius matches the
+    // inter-center distance, so both the probe set and the ADC
+    // candidate order genuinely lose neighbors. 8 held-out queries;
+    // floor pinned at recall@10 ≥ 0.85 for nprobe=4/32, rerank=64
+    // (measured 0.94 IVF-only — PQ may give up a little to
+    // quantization, not more than a head's worth).
+    val all = graft.fixtures.Fixtures
+      .gaussianMixture(spark, 4000, 64, 32, noise = 1.6).cache()
+    val queries = all.filter($"vec_id" < 8)
+      .select("embedding").as[Seq[Float]].collect().map(_.toArray)
+    val corpus = all.filter($"vec_id" >= 8).cache()
+    val ivf = VectorIndex.train(corpus, "embedding", k = 32)
+    val pqm = ProductQuantizer.train(corpus, "embedding", m = 8)
+    val indexed = ProductQuantizer.encodeDf(
+      VectorIndex.assign(corpus, "embedding", ivf), "embedding", pqm).cache()
+    val recalls = queries.map { q =>
+      val exact = VectorSearch.knnExact(corpus, "vec_id", "embedding",
+        q.toSeq, 10).select("vec_id").as[Long].collect().toSeq
+      val got = ProductQuantizer.searchPQ(indexed, ivf, pqm, "vec_id",
+          "embedding", q, k = 10, nprobe = 4, rerank = 64)
+        .select("vec_id").as[Long].collect().toSeq
+      VectorIndex.recallAtK(exact, got)
+    }
+    val mean = recalls.sum / recalls.length
+    info(f"IVF-PQ clustered recall@10 (nprobe=4, rerank=64): $mean%.3f")
+    assert(mean >= 0.85, s"IVF-PQ recall floor broken: $mean (${recalls.toSeq})")
+    all.unpersist(); corpus.unpersist(); indexed.unpersist()
+  }
+
   test("ADC candidate scan never reads the vector column") {
     val ivf = VectorIndex.train(planted, "embedding", k = 8)
     val pqm = ProductQuantizer.train(planted, "embedding", m = 4)

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import graft.Tables
+import graft.fixtures.Fixtures
 import org.apache.spark.sql.functions._
 
 class VectorIndexSpec extends SparkSpec {
@@ -70,6 +71,43 @@ class VectorIndexSpec extends SparkSpec {
     val partial = VectorIndex.searchApprox(idx, sampled, "vec_id", "embedding",
       query, k = 10, nprobe = 8).select("vec_id").as[Long].collect().toSeq
     assert(VectorIndex.recallAtK(exactTop(10), partial) >= 0.5)
+  }
+
+  test("clustered corpus: recall@10 vs nprobe curve — floor where probing bites") {
+    // Mixture-of-Gaussians corpus (round-8 audit item #4): uniform
+    // embeddings measure recall=1.0 trivially because no probe order
+    // is better than another; clusters whose jitter radius
+    // (noise·√dim ≈ 12.8) matches the inter-center distance (≈ √(2·dim)
+    // ≈ 11.3) genuinely overlap, so a too-small nprobe loses true
+    // neighbors. 8 held-out queries, one per distinct true center.
+    val all = Fixtures.gaussianMixture(spark, 4000, 64, 32, noise = 1.6).cache()
+    val queries = all.filter($"vec_id" < 8)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val corpus = all.filter($"vec_id" >= 8).cache()
+    val cModel = VectorIndex.train(corpus, "embedding", k = 32)
+    val idx = VectorIndex.assign(corpus, "embedding", cModel).cache()
+    def recall(q: Array[Float], nprobe: Int): Double = {
+      val exact = VectorSearch.knnExact(corpus, "vec_id", "embedding",
+        q.toSeq, 10).select("vec_id").as[Long].collect().toSeq
+      val approx = VectorIndex.searchApprox(idx, cModel, "vec_id", "embedding",
+        q, 10, nprobe).select("vec_id").as[Long].collect().toSeq
+      VectorIndex.recallAtK(exact, approx)
+    }
+    val curve = Seq(1, 2, 4, 8, 16, 32).map(np =>
+      np -> queries.map(q => recall(q._2.toArray, np)).sum / queries.length)
+    info(s"recall@10 curve: ${curve.map { case (n, r) => s"nprobe=$n:$r" }.mkString(", ")}")
+    val byNp = curve.toMap
+    // full probe degrades to exact search — recall is exactly 1
+    assert(byNp(32) == 1.0, s"full probe must be exact, got ${byNp(32)}")
+    // the pinned floor: nprobe=4 of 32 clusters keeps ≥0.9 of the
+    // true top-10 on a corpus where probing genuinely bites
+    assert(byNp(4) >= 0.9, s"recall@10 floor broken at nprobe=4: ${byNp(4)}")
+    // more probes never lose recall (candidate sets only grow, rerank
+    // is exact — monotonicity is structural, assert it held)
+    curve.map(_._2).sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-9, s"recall curve not monotone: $curve")
+    }
+    all.unpersist(); corpus.unpersist(); idx.unpersist()
   }
 
   test("codegen cosine matches HOF cosine exactly") {
