@@ -42,7 +42,58 @@ final class HttpEmbedder(endpoint: String, override val dim: Int,
     HttpClient.newBuilder().connectTimeout(timeout).build()
   @transient private lazy val mapper = new ObjectMapper()
 
-  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+  /** Batch embed with poisoned-row isolation. A deterministic
+    * failure on a 64-text batch ("HTTP 400", "65 vectors for 64
+    * texts") is useless at 100 TB — which of the 64 rows needs
+    * quarantining? On a terminal ROW-ADDRESSABLE failure the batch
+    * bisects: each half retries independently, recursing until the
+    * failure pins to one row, and the thrown error names that row
+    * (offset in the batch + a text preview) plus the root cause.
+    *
+    * Row-addressable = 4xx, malformed/partial response, dim drift,
+    * and retry-exhausted 5xx (a server that crashes on one input —
+    * oversize text, encoder OOM — answers 5xx deterministically).
+    * Connect-level failures (refused, DNS, timeout reaching the
+    * host) are NOT bisected: the service is down for every row, and
+    * halving would just double the outage cost. Worst-case isolation
+    * cost is ~2·log₂(batch) extra requests along the leftmost
+    * failing path — scheduler noise next to re-embedding a task.
+    *
+    * Retries re-send the byte-identical request body (built once per
+    * slice), so a mid-sequence failure after earlier successful
+    * batches re-embeds nothing and re-poses the same question —
+    * idempotent against any honest embedding service (asserted in
+    * HttpEmbedderSpec). */
+  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
+    embedSlice(texts, 0)
+
+  private def rowAddressable(e: Throwable): Boolean = e match {
+    case _: IllegalStateException => true    // 4xx contract rejection
+    case _: IllegalArgumentException => true // malformed/partial/dim
+    case io: java.io.IOException =>          // exhausted retries: only
+      Option(io.getCause).exists {           // status-bearing 5xx, not
+        case c: java.io.IOException =>       // connect-level outage
+          Option(c.getMessage).exists(_.startsWith("HTTP "))
+        case _ => false
+      }
+    case _ => false
+  }
+
+  private def embedSlice(texts: Seq[String], offset: Int): Seq[Array[Float]] = {
+    try sendBatch(texts)
+    catch {
+      case e: Throwable if rowAddressable(e) && texts.length > 1 =>
+        val mid = texts.length / 2
+        embedSlice(texts.take(mid), offset) ++
+          embedSlice(texts.drop(mid), offset + mid)
+      case e: Throwable if rowAddressable(e) =>
+        throw new IllegalStateException(
+          s"poisoned row isolated at batch offset $offset " +
+            s"(text: \"${texts.head.take(80)}\"): ${e.getMessage}", e)
+    }
+  }
+
+  private def sendBatch(texts: Seq[String]): Seq[Array[Float]] = {
     val body = {
       val root = mapper.createObjectNode()
       val arr = root.putArray("inputs")
@@ -90,7 +141,14 @@ final class HttpEmbedder(endpoint: String, override val dim: Int,
   }
 
   private def parse(json: String, expected: Int): Seq[Array[Float]] = {
-    val root = mapper.readTree(json)
+    // Jackson parse errors are IOExceptions — without the rewrap a
+    // 200-with-garbage body would look TRANSIENT and burn the retry
+    // budget on a deterministic contract violation
+    val root = try mapper.readTree(json) catch {
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        throw new IllegalArgumentException(
+          s"embedding response is not valid JSON: ${json.take(200)}", e)
+    }
     // accept both the bare-array shape and {"embeddings": [...]}
     val arr = if (root.isArray) root else root.get("embeddings")
     require(arr != null && arr.isArray,
