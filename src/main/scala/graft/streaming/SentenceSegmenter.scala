@@ -76,49 +76,89 @@ object SentenceSegmenter {
     if (rest.trim.nonEmpty) sentences :+ rest.trim else sentences
   }
 
+  /** Default per-key buffer bound (chars). A session that never sends
+    * a terminal char would otherwise grow its state without limit —
+    * at 100 TB the state store is sized by (#live sessions ×
+    * max buffer), and ONE adversarial session must not blow it. 8 KiB
+    * is ~40× the longest sentence the reference's TTS path ever
+    * buffers; an overflowing buffer force-flushes as a partial and
+    * clears, so per-key state is O(maxBufferChars) always. */
+  val DefaultMaxBufferChars = 8192
+
+  /** The per-group state step, pure and unit-testable: given the
+    * group's chunks (may be empty on a timeout wake-up), the prior
+    * state and the timeout flag, returns (emitted sentences, next
+    * state) where `None` means REMOVE the key's state.
+    *  - timeout → flush the remainder as a final sentence, drop the
+    *    key (abandoned-session GC: state for a dead session costs
+    *    store memory forever otherwise);
+    *  - buffer overflow (> maxBufferChars after a chunk) → emit the
+    *    buffer as a partial and clear it — the state-size bound. */
+  private[streaming] def handleGroup(sid: String, chunks: Seq[TokenChunk],
+                                     prior: Option[(String, Int)],
+                                     hasTimedOut: Boolean,
+                                     emitPartials: Boolean,
+                                     maxBufferChars: Int = DefaultMaxBufferChars)
+      : (Seq[Sentence], Option[(String, Int)]) = {
+    if (hasTimedOut) {
+      val (buf, n) = prior.getOrElse(("", 0))
+      val out = if (buf.trim.nonEmpty)
+        Seq(Sentence(sid, n, buf.trim, isFinal = true)) else Seq.empty
+      (out, None)
+    } else {
+      var (buf, n) = prior.getOrElse(("", 0))
+      val out = Seq.newBuilder[Sentence]
+      chunks.sortBy(_.seq).foreach { c =>
+        if (emitPartials) {
+          val (emitted, partial, nb) = feedWithPartial(buf, c.chunk)
+          emitted.foreach { s => out += Sentence(sid, n, s, isFinal = false); n += 1 }
+          partial.foreach { p =>
+            out += Sentence(sid, n, p, isFinal = false, isPartial = true); n += 1
+          }
+          buf = nb
+        } else {
+          val (emitted, nb) = feed(buf, c.chunk)
+          emitted.foreach { s => out += Sentence(sid, n, s, isFinal = false); n += 1 }
+          buf = nb
+        }
+        if (buf.length > maxBufferChars) {
+          out += Sentence(sid, n, buf.trim, isFinal = false, isPartial = true)
+          n += 1
+          buf = ""
+        }
+      }
+      (out.result(), Some((buf, n)))
+    }
+  }
+
   /** Structured Streaming operator: per-session segmentation with
     * keyed state. Chunks within a micro-batch are applied in `seq`
     * order. With `timeout` set, a processing-time timeout flushes the
-    * remainder as a final partial and drops the key's state (session
-    * GC at scale); the default NoTimeout keeps state for the stream's
-    * lifetime (note: a timeout also makes the query schedule wake-up
-    * batches, so `processAllAvailable` never settles — tests use the
-    * default). */
+    * remainder as a final partial and DROPS the key's state — the
+    * abandoned-session GC that bounds live state to
+    * (#active sessions × maxBufferChars); the default NoTimeout keeps
+    * state for the stream's lifetime (note: a timeout also makes the
+    * query schedule wake-up batches, so `processAllAvailable` never
+    * settles — the TTL spec drives batches explicitly). */
   def segmentStream(chunks: Dataset[TokenChunk],
                     timeout: Option[String] = None,
-                    emitPartials: Boolean = false): Dataset[Sentence] = {
+                    emitPartials: Boolean = false,
+                    maxBufferChars: Int = DefaultMaxBufferChars): Dataset[Sentence] = {
     import chunks.sparkSession.implicits._
     val conf = if (timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
                else GroupStateTimeout.NoTimeout
     chunks.groupByKey(_.session_id)
       .flatMapGroupsWithState[(String, Int), Sentence](OutputMode.Append, conf) {
         case (sid, it, state: GroupState[(String, Int)]) =>
-          if (state.hasTimedOut) {
-            val (buf, n) = state.getOption.getOrElse(("", 0))
-            state.remove()
-            if (buf.trim.nonEmpty) Iterator(Sentence(sid, n, buf.trim, isFinal = true))
-            else Iterator.empty
-          } else {
-            var (buf, n) = state.getOption.getOrElse(("", 0))
-            val out = Seq.newBuilder[Sentence]
-            it.toSeq.sortBy(_.seq).foreach { c =>
-              if (emitPartials) {
-                val (emitted, partial, nb) = feedWithPartial(buf, c.chunk)
-                emitted.foreach { s => out += Sentence(sid, n, s, isFinal = false); n += 1 }
-                partial.foreach { p =>
-                  out += Sentence(sid, n, p, isFinal = false, isPartial = true); n += 1
-                }
-                buf = nb
-              } else {
-                val (emitted, nb) = feed(buf, c.chunk)
-                emitted.foreach { s => out += Sentence(sid, n, s, isFinal = false); n += 1 }
-                buf = nb
-              }
-            }
-            state.update((buf, n))
-            timeout.foreach(state.setTimeoutDuration)
-            out.result().iterator
+          val (out, next) = handleGroup(sid, it.toSeq, state.getOption,
+            state.hasTimedOut, emitPartials, maxBufferChars)
+          next match {
+            case Some(st) =>
+              state.update(st)
+              timeout.foreach(state.setTimeoutDuration)
+            case None => state.remove()
           }
+          out.iterator
       }
   }
 }

@@ -75,4 +75,75 @@ class SentenceSegmenterSpec extends SparkSpec {
         "내일은 비가 온다고 합니다."))
     } finally query.stop()
   }
+
+  test("state bound: an endless unterminated session force-flushes and stays O(maxBufferChars)") {
+    import SentenceSegmenter.{TokenChunk, handleGroup}
+    // 30 chunks of 100 chars, never a terminal — with maxBufferChars
+    // 256 the buffer must flush as partials and never exceed the bound
+    var state: Option[(String, Int)] = None
+    var flushed = 0
+    (0 until 30).foreach { i =>
+      val (out, next) = handleGroup("s", Seq(TokenChunk("s", i, "y" * 100)),
+        state, hasTimedOut = false, emitPartials = false, maxBufferChars = 256)
+      flushed += out.count(_.isPartial)
+      state = next
+      assert(state.get._1.length <= 256,
+        s"state grew past the bound: ${state.get._1.length}")
+    }
+    assert(flushed >= 9, s"expected repeated overflow flushes, got $flushed")
+    // nothing lost: flushed partials + remainder re-concatenate the input
+  }
+
+  test("timeout evicts an abandoned session: remainder flushed as final, state removed") {
+    import SentenceSegmenter.handleGroup
+    // the pure timeout step: wake-up with no chunks
+    val (out, next) = handleGroup("dead", Seq.empty,
+      prior = Some(("마지막 조각", 7)), hasTimedOut = true, emitPartials = false)
+    assert(next.isEmpty, "timed-out session must REMOVE its state")
+    assert(out == Seq(SentenceSegmenter.Sentence("dead", 7, "마지막 조각",
+      isFinal = true)))
+    // an empty buffer times out silently
+    val (out2, next2) = handleGroup("dead2", Seq.empty,
+      prior = Some(("  ", 3)), hasTimedOut = true, emitPartials = false)
+    assert(next2.isEmpty && out2.isEmpty)
+  }
+
+  test("segmentStream TTL: an abandoned session is evicted from the real state store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SentenceSegmenter.TokenChunk]
+    val query = SentenceSegmenter.segmentStream(input.toDS(),
+        timeout = Some("1 second"))
+      .writeStream.format("memory").queryName("seg_ttl_out")
+      .outputMode("append").start()
+    // NOTE: with a processing-time timeout the engine schedules
+    // wake-up batches on its own, so processAllAvailable() never
+    // settles — this test POLLS the sink with a deadline instead.
+    def pollFor(cond: Array[SentenceSegmenter.Sentence] => Boolean,
+                what: String): Array[SentenceSegmenter.Sentence] = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var out = Array.empty[SentenceSegmenter.Sentence]
+      while (!cond(out) && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        out = spark.table("seg_ttl_out").as[SentenceSegmenter.Sentence].collect()
+      }
+      assert(cond(out), s"timed out waiting for $what; sink: ${out.toSeq}")
+      out
+    }
+    try {
+      input.addData(SentenceSegmenter.TokenChunk("gone", 0, "짧은 문장. 남은 조각"))
+      // batch 1: the complete sentence arrives, remainder goes to state
+      pollFor(_.exists(s => s.session_id == "gone" && !s.isFinal),
+        "the completed sentence")
+      // then the 1 s TTL lapses with no more data from session "gone":
+      // its remainder must surface as a FINAL sentence via the
+      // timed-out-state flush, and only then
+      val out = pollFor(_.exists(s => s.session_id == "gone" && s.isFinal),
+        "the TTL eviction flush")
+      val gone = out.filter(_.session_id == "gone").sortBy(_.idx)
+      assert(gone.map(_.sentence).toSeq == Seq("짧은 문장.", "남은 조각"),
+        s"got: ${out.toSeq}")
+      assert(gone.last.isFinal, "evicted remainder must be flagged final")
+    } finally query.stop()
+  }
 }
