@@ -8,6 +8,13 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 run_point() { # sfdir out
+  # NOTE on noise: guest-side idle gating (the Bench built-in gate +
+  # idle_wait here) removes in-VM contention, but host-level CPU
+  # starvation is invisible to guest loadavg and was observed to move
+  # x100 per-query absolutes 3-8x between back-to-back gate-passed
+  # runs (a 32g-heap A/B disproved GC as the cause). Within-run
+  # Spark/DuckDB ratios share the window and stay comparable; absolute
+  # walls across sweeps do not.
   SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_BENCH_OUT="$2" \
     sbt -batch "runMain graft.Bench" 2>&1 | tail -3
 }
