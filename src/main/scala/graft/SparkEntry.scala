@@ -291,8 +291,8 @@ object SparkEntry {
         .groupBy(col("user_id"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("v"))
       val spine = TimeSeriesOps.toDailySpine(purchases, Seq("user_id"), "day", "v")
-      TimeSeriesOps.longestNonNullRun(spine, Seq("user_id"), "day", "v")
-        .select("user_id", "run_len", "run_start").orderBy("user_id")
+      orderedSmall(TimeSeriesOps.longestNonNullRun(spine, Seq("user_id"), "day", "v")
+        .select("user_id", "run_len", "run_start"), "user_id")
     }),
     "a14_budget" -> ((s, d) =>
       // budget fold runs POST-limit (top-100 by length) — the
