@@ -156,12 +156,11 @@ object Bench {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val par = sys.env.getOrElse("SPARK_GRAFT_PAR", "8").toInt
     // longest-first for the concurrent pass (wall = max, not sum) —
-    // refreshed from the round-4 sequential measurements (post
-    // driver-side IVF train: ann_ivf left the top tier)
-    val heavy = Seq("simhash_neardups", "contamination", "rag_sources",
-      "forecast_pipeline", "minhash_neardups", "index_append_dedup",
-      "s11_crud", "salted_join", "s10_append", "s2_jdbc", "ingest_bulk",
-      "minhash_bands", "a8_interpolate", "a9_longest_run")
+    // refreshed from the round-9 idle-gated sf0.1 sweep point
+    val heavy = Seq("dedup_clusters", "forecast_ar", "quality_classifier",
+      "tfidf_terms", "lm_score", "simhash_neardups", "forecast_ridge",
+      "minhash_neardups", "index_append_dedup", "range_join",
+      "forecast_pipeline", "minhash_bands", "a8_interpolate", "s11_crud")
 
     val gate = idleGate()
     val loadBefore = loadSnapshot()
