@@ -249,13 +249,18 @@ object SparkEntry {
       // High-cardinality key spaces (>1000 groups) fall back to the
       // join form below — same semantics, one more exchange —
       // instead of failing; the map-literal path stays the fast
-      // case. The fallback persists the aggregate so the probe and
-      // the join share one computation, broadcasts it while the
-      // group count stays driver-safe (≤1M rows of (string, double)
-      // ≈ tens of MB), and degrades to a plain shuffle join beyond
-      // that — never an unbounded broadcast. Semantics match the
-      // inner join exactly: null event_type rows are dropped, null
-      // group means fall out of the map and yield null preds.
+      // case. The fallback probes the aggregate's cardinality under a
+      // short-lived cache, then UNPERSISTS before returning — the
+      // probe cache must not outlive the call (bench reruns each
+      // query; a leaked MEMORY_AND_DISK copy per invocation
+      // accumulates for the session lifetime). Driver-safe group
+      // counts (≤1M rows of (string, double) ≈ tens of MB) collect
+      // to a local relation that broadcasts with zero recompute;
+      // beyond that it degrades to a plain shuffle join against the
+      // uncached aggregate — never an unbounded broadcast, never a
+      // leaked cache. Semantics match the inner join exactly: null
+      // event_type rows are dropped, null group means fall out of
+      // the map and yield null preds.
       val e = t(s, d, "events")
       val meansDf = e.groupBy("event_type").agg(avg("value").as("pred"))
       val probed = meansDf.persist(
@@ -263,8 +268,22 @@ object SparkEntry {
       val means = probed.limit(1001).collect()
       val scored =
         if (means.length > 1000) {
-          val mj = probed.filter(col("event_type").isNotNull)
-          val right = if (probed.count() <= 1000000L) broadcast(mj) else mj
+          val cnt = probed.count()
+          val right =
+            if (cnt <= 1000000L) {
+              // driver-safe: pin the means as a LOCAL relation so the
+              // probe cache can be dropped now, not at session end
+              val local = probed.filter(col("event_type").isNotNull).collect()
+              probed.unpersist()
+              broadcast(s.createDataFrame(
+                java.util.Arrays.asList(local: _*), probed.schema))
+            } else {
+              // too big to hold anywhere but the cluster: shuffle-join
+              // the uncached aggregate (recomputed once at execution —
+              // the price of not leaking a session-lifetime cache)
+              probed.unpersist()
+              meansDf.filter(col("event_type").isNotNull)
+            }
           e.filter(col("event_type").isNotNull)
             .join(right, Seq("event_type"))
             .select(col("value"), col("pred"))

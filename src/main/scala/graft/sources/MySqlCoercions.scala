@@ -41,20 +41,22 @@ object MySqlCoercions {
   }
 
   /** TIME → "HH:MM" with seconds dropped (the reference's
-    * divmod(seconds, 3600) formatting). JDBC TIME arrives as a
+    * divmod(td.seconds, 3600) formatting). JDBC TIME arrives as a
     * 1970-01-01 TimestampType clock time; string arrivals
     * ("HH:MM:SS") are truncated. A string without at least an
     * "H:M" shape (e.g. "0730", "garbage") maps to null — an
-    * explicit miss, never a fabricated clock time. Hours longer
-    * than two digits are PRESERVED, not truncated: MySQL TIME
-    * ranges to 838:59:59, so "123:45:00" → "123:45". */
+    * explicit miss, never a fabricated clock time. MySQL TIME
+    * ranges to 838:59:59; the reference's `.seconds` accessor drops
+    * whole days, so >24h hours reduce MOD 24 for parity:
+    * "123:45:00" → "03:45" (123h = 5d 3h45m), exactly what the
+    * reference emits for the same value. */
   def timeToHhMm(c: Column, dt: DataType): Column = dt match {
     case TimestampType | TimestampNTZType => date_format(c, "HH:mm")
     case StringType =>
       // split on ':' rather than fixed positions — a non-padded
       // arrival like "7:05:59" must yield "07:05", not "7:05:"
-      val h = split(c, ":").getItem(0)
-      val hh = when(length(h) < 2, lpad(h, 2, "0")).otherwise(h)
+      val hh = lpad((split(c, ":").getItem(0).cast("long") % 24).cast("string"),
+        2, "0")
       when(c.rlike("^\\d+:\\d{1,2}(:\\d{1,2}(\\.\\d+)?)?$"),
         concat(hh, lit(":"), lpad(split(c, ":").getItem(1), 2, "0")))
         .otherwise(lit(null).cast("string"))

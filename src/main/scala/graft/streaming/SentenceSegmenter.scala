@@ -122,8 +122,14 @@ object SentenceSegmenter {
           buf = nb
         }
         if (buf.length > maxBufferChars) {
-          out += Sentence(sid, n, buf.trim, isFinal = false, isPartial = true)
-          n += 1
+          // overflow force-flush: the state-size bound always clears
+          // the buffer, but only emits a row when there is visible
+          // text — a whitespace-only oversized buffer must not
+          // produce an empty Sentence
+          if (buf.trim.nonEmpty) {
+            out += Sentence(sid, n, buf.trim, isFinal = false, isPartial = true)
+            n += 1
+          }
           buf = ""
         }
       }
@@ -139,7 +145,15 @@ object SentenceSegmenter {
     * (#active sessions × maxBufferChars); the default NoTimeout keeps
     * state for the stream's lifetime (note: a timeout also makes the
     * query schedule wake-up batches, so `processAllAvailable` never
-    * settles — the TTL spec drives batches explicitly). */
+    * settles — the TTL spec drives batches explicitly).
+    *
+    * Contract note on `emitPartials = false`: the overflow
+    * force-flush (buffer > maxBufferChars) still emits
+    * `isPartial = true` rows — the state bound takes precedence over
+    * the no-partials preference, because the only alternatives are
+    * dropping text or unbounded state. Consumers that opt out of
+    * partials must still tolerate (or filter) `isPartial` rows if
+    * they feed sentence-free input longer than `maxBufferChars`. */
   def segmentStream(chunks: Dataset[TokenChunk],
                     timeout: Option[String] = None,
                     emitPartials: Boolean = false,

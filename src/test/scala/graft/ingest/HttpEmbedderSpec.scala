@@ -116,6 +116,15 @@ class HttpEmbedderSpec extends SparkSpec with BeforeAndAfterAll {
         ex.close()
       }
     })
+    // status routes: always answer the given status, counting requests
+    def statusRoute(status: Int): HttpExchange => Unit = (ex: HttpExchange) => {
+      requests.incrementAndGet()
+      ex.getRequestBody.readAllBytes()
+      ex.sendResponseHeaders(status, -1); ex.close()
+    }
+    server.createContext("/always401", statusRoute(401)(_))
+    server.createContext("/always429", statusRoute(429)(_))
+    server.createContext("/always503", statusRoute(503)(_))
     // wrong-dim route: serves 4-float vectors whatever the request
     server.createContext("/baddim", (ex: HttpExchange) => {
       val req = mapper.readTree(ex.getRequestBody)
@@ -212,6 +221,44 @@ class HttpEmbedderSpec extends SparkSpec with BeforeAndAfterAll {
     val partial = new HttpEmbedder(url("/partial"), dim = 16, batchSize = 4)
     val e2 = intercept[IllegalStateException](partial.embedBatch(Seq("x", "y")))
     assert(e2.getMessage.contains("vectors for"), e2.getMessage)
+  }
+
+  test("401 auth failure is batch-level: one request, no bisection, no row blamed") {
+    requests.set(0)
+    val http = new HttpEmbedder(url("/always401"), dim = 16, batchSize = 8)
+    val e = intercept[HttpEmbedder.BatchFailedException](
+      http.embedBatch(Seq("a", "b", "c", "d", "e", "f", "g", "h")))
+    assert(e.getMessage.contains("401"), e.getMessage)
+    assert(!e.getMessage.contains("poisoned row"), e.getMessage)
+    // auth failures must not probe halves — that would hammer the
+    // service with doomed requests and end up blaming row 0
+    assert(requests.get() == 1, s"sent ${requests.get()} requests for a 401")
+  }
+
+  test("429 rate limit: retried with backoff, then batch-level — never bisected") {
+    requests.set(0)
+    val http = new HttpEmbedder(url("/always429"), dim = 16, batchSize = 8,
+      maxRetries = 1)
+    val e = intercept[HttpEmbedder.BatchFailedException](
+      http.embedBatch(Seq("a", "b", "c", "d")))
+    assert(e.getMessage.contains("rate-limiting"), e.getMessage)
+    // exactly the retry budget (2 attempts), zero bisection probes —
+    // bisecting a throttling service would amplify the load it is
+    // already shedding
+    assert(requests.get() == 2, s"sent ${requests.get()} requests for 429s")
+  }
+
+  test("batch-wide 5xx: both halves fail identically -> batch-level, row 0 not blamed") {
+    requests.set(0)
+    val http = new HttpEmbedder(url("/always503"), dim = 16, batchSize = 8,
+      maxRetries = 0)
+    val e = intercept[HttpEmbedder.BatchFailedException](
+      http.embedBatch(Seq("a", "b", "c", "d", "e", "f", "g", "h")))
+    assert(e.getMessage.contains("batch-wide"), e.getMessage)
+    assert(e.getMessage.contains("503"), e.getMessage)
+    assert(!e.getMessage.contains("poisoned row"), e.getMessage)
+    // full batch + one probe per half, then stop — not a walk to row 0
+    assert(requests.get() == 3, s"sent ${requests.get()} requests")
   }
 
   test("retry idempotence: the identical body is re-sent and yields identical vectors") {

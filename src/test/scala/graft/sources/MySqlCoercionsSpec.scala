@@ -50,7 +50,7 @@ class MySqlCoercionsSpec extends SparkSpec {
       3 -> Some("07:05"), 4 -> Some("09:05")))
   }
 
-  test("timeToHhMm string guard: malformed → null, MySQL >24h hours preserved") {
+  test("timeToHhMm string guard: malformed → null, MySQL >24h hours reduce mod 24") {
     val str = Seq((1, "0730"), (2, "garbage"), (3, "123:45:00"),
       (4, "838:59:59"), (5, ""), (6, "12:"), (7, "12:05:00.123"))
       .toDF("id", "t")
@@ -58,10 +58,11 @@ class MySqlCoercionsSpec extends SparkSpec {
         MySqlCoercions.timeToHhMm($"t", StringType).as("s"))
       .as[(Int, Option[String])].collect().toMap
     // no ':' shape → null (never a fabricated clock time); hours past
-    // two digits kept whole (MySQL TIME ranges to 838:59:59), not
-    // lpad-truncated to "12:45"
-    assert(out == Map(1 -> None, 2 -> None, 3 -> Some("123:45"),
-      4 -> Some("838:59"), 5 -> None, 6 -> None, 7 -> Some("12:05")))
+    // 24 drop whole days for reference parity — the reference's
+    // timedelta .seconds accessor does exactly this: 123h = 5d 3h45m
+    // → "03:45", 838h = 34d 22h59m → "22:59"
+    assert(out == Map(1 -> None, 2 -> None, 3 -> Some("03:45"),
+      4 -> Some("22:59"), 5 -> None, 6 -> None, 7 -> Some("12:05")))
   }
 
   test("dateToIso emits isoformat strings") {

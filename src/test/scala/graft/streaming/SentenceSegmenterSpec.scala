@@ -94,6 +94,18 @@ class SentenceSegmenterSpec extends SparkSpec {
     // nothing lost: flushed partials + remainder re-concatenate the input
   }
 
+  test("overflow flush of a whitespace-only buffer clears state but emits no empty row") {
+    import SentenceSegmenter.{TokenChunk, handleGroup}
+    // an oversized buffer of pure whitespace (e.g. streamed padding)
+    // must still be cleared — the state bound — but an empty-text
+    // Sentence is a row shape no consumer should ever see
+    val (out, next) = handleGroup("pad", Seq(TokenChunk("pad", 0, " " * 300)),
+      prior = None, hasTimedOut = false, emitPartials = false,
+      maxBufferChars = 256)
+    assert(out.isEmpty, s"whitespace overflow emitted rows: $out")
+    assert(next.get._1 == "", "overflow must still clear the buffer")
+  }
+
   test("timeout evicts an abandoned session: remainder flushed as final, state removed") {
     import SentenceSegmenter.handleGroup
     // the pure timeout step: wake-up with no chunks
