@@ -424,22 +424,43 @@ object Dedup {
       .dropDuplicates("idA", "idB")
   }
 
-  /** Connected components over a near-dup pair graph by iterative
-    * min-label propagation: every vertex starts labeled with its own
-    * id; each round takes the min of its label and its neighbors'
-    * labels; at fixpoint the label is the component's minimum id —
-    * the natural canonical-document choice for a dedup cluster.
+  /** Connected components over a near-dup pair graph, returning
+    * (id, label) where label = the component's minimum id — the
+    * natural canonical-document choice for a dedup cluster.
     *
-    * Scale shape: each round is one shuffle (edge–label equi-join +
-    * groupBy-min) and converges in O(component diameter) rounds —
-    * near-dup clusters are star/clique-like, so 2-3 rounds in
-    * practice; `maxIter` bounds pathological chains (the
-    * large-star/small-star contraction of Kiveris et al. 2014 gets
-    * O(log n) rounds if ever needed). Per-round `localCheckpoint`
-    * truncates the growing lineage — without it the plan doubles
-    * every iteration; the convergence test is a scalar count, not a
-    * data collect. Returns (id, label). */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    * Two physical paths behind one contract (the a13-style bounded
+    * fallback shape):
+    *  - **driver-safe graphs** (≤ `driverSafeEdges` symmetric edges,
+    *    default 2M ≈ tens of MB of id pairs): union-find with path
+    *    halving on the driver, result re-planted as a LOCAL relation.
+    *    Near-dup pair graphs are SPARSE BY CONSTRUCTION (LSH bucket
+    *    caps bound candidate fan-out), so at typical dedup rates the
+    *    edge list is orders of magnitude smaller than the corpus and
+    *    this path answers in two jobs (count + collect) instead of
+    *    O(diameter) join rounds of pure fixed cost;
+    *  - **larger graphs**: iterative min-label propagation — each
+    *    round one shuffle (edge–label equi-join + groupBy-min),
+    *    converging in O(component diameter) rounds with a scalar
+    *    changed-count action per round and early exit at fixpoint;
+    *    `maxIter` bounds pathological chains (the large-star/
+    *    small-star contraction of Kiveris et al. 2014 gets O(log n)
+    *    rounds if ever needed).
+    * Both paths fail loudly rather than return split components. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+                          driverSafeEdges: Long = 2000000L): DataFrame = {
+    // size probe and small-path input in ONE action (the a13-style
+    // limit-probe): if the raw edge list fits the driver bound we
+    // already hold every edge — union-find needs no symmetric
+    // doubling, the graph is undirected. A graph past the bound
+    // wastes one bounded collect (tens of MB), then takes the
+    // distributed loop.
+    if (driverSafeEdges >= 0 && driverSafeEdges < Int.MaxValue) {
+      val probe = edges.select(col("src"), col("dst"))
+        .limit(driverSafeEdges.toInt + 1).collect()
+      if (probe.length <= driverSafeEdges)
+        return unionFindLocal(edges.sparkSession, probe,
+          edges.schema.head.dataType)
+    }
     // materialize the edge list once — it feeds every round's join,
     // and an upstream LSH pipeline would otherwise re-run per round
     val sym = edges.select(col("src"), col("dst"))
@@ -478,5 +499,61 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds; " +
           "labels would be split across oversized-diameter components")
     labels
+  }
+
+  /** Driver-side union-find over a bounded edge list (the small-graph
+    * fast path of [[connectedComponents]] — see there for when this
+    * is safe). Path-halving find, union by attaching either root; the
+    * component label is resolved as the min id in a second sweep, so
+    * the structure needs no ordered-union bookkeeping. Exact same
+    * (id, label=component min) contract as the distributed loop,
+    * spec-pinned equal on shared fixtures (ComponentsSpec). */
+  private def unionFindLocal(spark: org.apache.spark.sql.SparkSession,
+                             edgeRows: Array[org.apache.spark.sql.Row],
+                             idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types._
+    // min-label semantics need an ordering on the id type; the
+    // distributed loop's `least`/`min` define it — mirror those
+    val ord: Ordering[Any] = (idType match {
+      case LongType => Ordering.Long.on[Any](_.asInstanceOf[Long])
+      case IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Int])
+      case ShortType => Ordering.Short.on[Any](_.asInstanceOf[Short])
+      case StringType => Ordering.String.on[Any](_.asInstanceOf[String])
+      case DoubleType => Ordering.Double.TotalOrdering.on[Any](_.asInstanceOf[Double])
+      case other => throw new IllegalArgumentException(
+        s"connectedComponents: unsupported id type $other")
+    })
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x0: Any): Any = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != x) { // path halving
+        val gp = parent.get(p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.get(x)
+      }
+      x
+    }
+    edgeRows.foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(ra, rb)
+    }
+    // resolve the canonical (min) id per root in one sweep
+    val minOf = new java.util.HashMap[Any, Any]()
+    parent.keySet().forEach { v =>
+      val root = find(v)
+      val cur = minOf.get(root)
+      if (cur == null || ord.lt(v, cur)) minOf.put(root, v)
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    parent.keySet().forEach { v =>
+      out.add(org.apache.spark.sql.Row(v, minOf.get(find(v))))
+    }
+    spark.createDataFrame(out,
+      StructType(Seq(StructField("id", idType), StructField("label", idType))))
   }
 }

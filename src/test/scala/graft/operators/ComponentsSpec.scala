@@ -5,9 +5,20 @@ import graft.SparkSpec
 class ComponentsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Dedup.connectedComponents(edges.toDF("src", "dst"))
+  // every fixture runs BOTH physical paths — the driver union-find
+  // (default bound) and the distributed label-propagation loop
+  // (forced with driverSafeEdges = -1) — and asserts they agree:
+  // the two implementations share one contract
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = edges.toDF("src", "dst")
+    val local = Dedup.connectedComponents(df)
       .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(df, driverSafeEdges = -1L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist,
+      s"union-find and label-propagation disagree: $local vs $dist")
+    local
+  }
 
   test("chain propagates the min label across its full diameter") {
     // 1-2-3-...-8 takes multiple propagation rounds to converge
