@@ -92,13 +92,27 @@ object Relational {
     * rare in absolute terms must raise `sampleFraction` (or pass
     * `hotKeys` from real table statistics) or the gate silently (and
     * harmlessly — the result is identical either way) falls back to
-    * the plain join. */
+    * the plain join.
+    *
+    * `broadcastSmall`: when the CALLER knows the small side fits the
+    * executor broadcast budget (a filtered dimension, a pre-aggregated
+    * key list), the whole skew problem dissolves — a broadcast-hash
+    * join never shuffles the big side, so no key can concentrate in
+    * one partition and salting would only add a wider key plus
+    * small-side replication for zero benefit. The profile/salt
+    * machinery is skipped outright; the big side streams through one
+    * map-side join. Salting exists for the big⋈big case where BOTH
+    * sides must shuffle (r9 audit: the empty-hot-set fallback
+    * full-shuffled 60 M rows against a ~3 M-row side that q3_shipping
+    * broadcasts — 12.65 s vs 1.69 s for the same-shape equijoin). */
   def skewJoin(big: DataFrame, small: DataFrame, key: String,
                saltFactor: Int, sampleFraction: Double = 0.01,
                hotKeyCount: Int = 16, seed: Long = 42L,
                hotKeys: Option[Seq[Any]] = None,
                skewThreshold: Double = 4.0,
-               minSampledCount: Long = 16L): DataFrame = {
+               minSampledCount: Long = 16L,
+               broadcastSmall: Boolean = false): DataFrame = {
+    if (broadcastSmall) return big.join(broadcast(small), Seq(key))
     val hot = hotKeys.getOrElse {
       val prof = big.sample(withReplacement = false, sampleFraction, seed)
         .groupBy(key).count()

@@ -83,6 +83,23 @@ class RelationalSpec extends SparkSpec {
     assert(out == plain)
   }
 
+  test("skewJoin broadcastSmall emits a broadcast join, skips salting, and equals the plain join") {
+    val big = (1 to 200).map(i => (i % 5 + 1L, i.toDouble)).toDF("k", "v")
+    val small = (1L to 5L).map(k => (k, s"t$k")).toDF("k", "tag")
+    val bc = Relational.skewJoin(big, small, "k", saltFactor = 4,
+      hotKeys = Some(Seq(1L)), broadcastSmall = true)
+    // plan: broadcast-hash join, no _salt machinery anywhere
+    val phys = bc.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin in:\n$phys")
+    assert(!phys.contains("_salt"), "broadcastSmall must bypass salting entirely")
+    val got = bc.groupBy("tag").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .as[(String, Long, Double)].collect().toSet
+    val want = big.join(small, "k")
+      .groupBy("tag").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
   test("skewJoin balances the planted-hot-key shuffle (the win salting buys at scale)") {
     // Planted skew: key 0 carries HALF the corpus. Under a plain
     // shuffle join every key-0 row lands in ONE shuffle partition —
