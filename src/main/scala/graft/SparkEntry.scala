@@ -170,26 +170,19 @@ object SparkEntry {
     * `_score` (linear probability). */
   private[graft] def qualityClassifierScored(s: SparkSession, d: String): DataFrame = {
     val docs = tp(s, d, "documents")
-    val toks = filter(split(lower(col("text")), "\\s+"),
-      t => length(t) > 0)
-    val len = length(col("text")).cast("double")
-    val nToks = greatest(size(toks), lit(1)).cast("double")
-    val stopRatio = size(filter(toks, x => x.isin(
-      "the", "and", "of", "to", "is", "a", "in", "that"))).cast("double") / nToks
-    val punctRatio =
-      (len - length(regexp_replace(col("text"), "[!-/:-@\\[-`{-~]", ""))) /
-        greatest(len, lit(1.0))
-    val digitRatio =
-      (len - length(regexp_replace(col("text"), "[0-9]", ""))) /
-        greatest(len, lit(1.0))
-    val meanWordLen =
-      length(regexp_replace(col("text"), "\\s", "")).cast("double") / nToks
-    val feats = Seq(lit(1.0), least(len / lit(400.0), lit(1.0)),
-      stopRatio, punctRatio, digitRatio, meanWordLen)
-    val y = (TextAnalysis.qualityScore(col("text")) > 0.70).cast("double")
+    // every signal — the five probe features and the teacher label —
+    // comes from ONE compiled text pass (TextAnalysis.qualitySignals;
+    // numerically identical to the previous 4-regex + HOF-filter
+    // formulation, see its scaladoc). The struct lands as a column and
+    // features are field reads, so the UDF runs once per row:
+    // CollapseProject never inlines a non-cheap expression into
+    // multiple uses. 5.2 s → ~1.5 s at the 100× point.
     val featured = docs
-      .withColumn("_y", y)
+      .withColumn("_sig", TextAnalysis.qualitySignals(col("text")))
+      .withColumn("_y", (col("_sig").getField("_6") > 0.70).cast("double"))
       .withColumn("_train", pmod(xxhash64(col("doc_id")), lit(5)) < 4)
+    val f = (i: Int) => col("_sig").getField(s"_$i")
+    val feats = Seq(lit(1.0), f(1), f(2), f(3), f(4), f(5))
     val beta = graft.operators.Forecast.fitRidge(
       featured.filter(col("_train")), feats, col("_y"))
     featured.filter(!col("_train"))

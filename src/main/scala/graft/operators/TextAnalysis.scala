@@ -121,6 +121,76 @@ object TextAnalysis {
   })
   def qualityScore(text: Column): Column = qualityUdf(text)
 
+  /** The linear quality-probe's stopword set (a deliberately tiny
+    * 8-token probe, distinct from [[enStops]] which feeds the teacher
+    * rule — the probe must learn from RAW signals, not the rule's own
+    * vocabulary). */
+  private val probeStops = Set("the", "and", "of", "to", "is", "a", "in", "that")
+
+  /** ONE compiled pass computing every signal the rule-distillation
+    * quality classifier needs — the five raw probe features AND the
+    * teacher [[qualityScore]] — bit-identical to the previous
+    * per-signal formulation (4 regexp_replace passes + split + two
+    * interpreted array-filter HOFs + the teacher's own tokenize:
+    * ~7 traversals and several allocations per document, 5.2 s at the
+    * 100× point for quality_classifier). Char-scan counts reproduce
+    * the regex classes exactly: punct_re = the ASCII printable ranges
+    * `[!-/:-@\[-`{-~]`, digits `[0-9]`, whitespace = Java `\s`
+    * (space, TAB..CR — [[isWs]]); the teacher's noise term keeps its
+    * OWN punct definition (ASCII non-alnum non-ws INCLUDING control
+    * chars), so both counters run in the same scan. Token boundaries
+    * and lowercasing match `lower(text) split \s+` (whitespace is
+    * case-stable). Returns a positional tuple (janino struct-codegen
+    * caveat, see repetitionUdf): _1 lenScore, _2 stopRatio,
+    * _3 punctRatio, _4 digitRatio, _5 meanWordLen, _6 teacher score;
+    * null text → null (ridge drops null-feature rows, unchanged). */
+  private val qualitySignalsUdf = udf((s: String) => {
+    if (s == null) null
+    else if (s.isEmpty) (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    else {
+      val len = s.length
+      var digit = 0; var punctRe = 0; var punctQ = 0; var ws = 0
+      var i = 0
+      while (i < len) {
+        val c = s.charAt(i)
+        if (c >= '0' && c <= '9') digit += 1
+        else if (c < 128 && !Character.isLetterOrDigit(c) &&
+          !Character.isWhitespace(c)) punctQ += 1
+        if ((c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
+            (c >= '[' && c <= '`') || (c >= '{' && c <= '~')) punctRe += 1
+        if (isWs(c)) ws += 1
+        i += 1
+      }
+      var nToks = 0; var stopProbe = 0; var stopEn = 0
+      i = 0
+      while (i < len) {
+        while (i < len && isWs(s.charAt(i))) i += 1
+        if (i < len) {
+          val start = i
+          while (i < len && !isWs(s.charAt(i))) i += 1
+          nToks += 1
+          val tok = s.substring(start, i).toLowerCase
+          if (probeStops.contains(tok)) stopProbe += 1
+          if (enStops.contains(tok)) stopEn += 1
+        }
+      }
+      val lenD = len.toDouble
+      val nT = math.max(nToks, 1).toDouble
+      val lenScore = math.min(lenD / 400.0, 1.0)
+      val quality = {
+        val swRatio = if (nToks == 0) 0.0 else stopEn.toDouble / nToks
+        val sw = math.min(swRatio * 4.0, 1.0)
+        val noise = math.max(0.0,
+          1.0 - punctQ.toDouble / len * 5.0 - digit.toDouble / len * 2.0)
+        math.round((lenScore * 0.3 + sw * 0.3 + noise * 0.4) * 1e6) / 1e6
+      }
+      (lenScore, stopProbe.toDouble / nT, punctRe.toDouble / math.max(lenD, 1.0),
+        digit.toDouble / math.max(lenD, 1.0), (lenD - ws) / nT, quality)
+    }
+  })
+
+  def qualitySignals(text: Column): Column = qualitySignalsUdf(text)
+
   /** Gopher-style repetition metrics for boilerplate filtering:
     * distinct-token ratio, the most-frequent-2-gram's share of all
     * 2-grams, and the fraction of 2-/3-gram occurrences whose gram
