@@ -171,11 +171,17 @@ object Bench {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val par = sys.env.getOrElse("SPARK_GRAFT_PAR", "8").toInt
     // longest-first for the concurrent pass (wall = max, not sum) —
-    // refreshed from the round-9 idle-gated sf0.1 sweep point
-    val heavy = Seq("dedup_clusters", "forecast_ar", "quality_classifier",
-      "tfidf_terms", "lm_score", "simhash_neardups", "forecast_ridge",
-      "minhash_neardups", "index_append_dedup", "range_join",
-      "forecast_pipeline", "minhash_bands", "a8_interpolate", "s11_crud")
+    // refreshed from the round-10 idle-gated sweep. One static list
+    // serves every SF, so the worst SCALER leads: range_join is 0.6 s
+    // at sf0.1 but 27 s at the 100× point (genuine ~8G-pair
+    // enumeration), and scheduling it last would serialize the x100
+    // wall behind it. quality_classifier left the list (5.2 s → 1.5 s
+    // after the fused-signals rewrite).
+    val heavy = Seq("range_join", "contamination", "dedup_clusters",
+      "tfidf_terms", "simhash_neardups", "forecast_ar", "lm_score",
+      "minhash_neardups", "ingest_bulk", "rag_sources", "s11_crud",
+      "index_append_dedup", "forecast_pipeline", "q3_shipping",
+      "salted_join", "s10_append")
 
     val gate = idleGate()
     val loadBefore = loadSnapshot()
