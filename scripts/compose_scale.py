@@ -27,7 +27,10 @@ METHOD = (
     "grows ~min(N,30)*N, superlinear but far below the N^2 of "
     "identical-timestamp replication); graft.Bench runs spark and the DuckDB "
     "oracle on the same box minutes apart at each point; ratios use the "
-    "WARM DuckDB wall (least favorable to Spark). Single-machine "
+    "WARM DuckDB wall (least favorable to Spark). Per-query seconds are "
+    "the MIN over two calm-gated sequential passes (seq_warm_par1_min2, "
+    "round 10) — single-shot seq times in the concurrent passes' load "
+    "wake carried a 2-3x noise tail. Single-machine "
     "local[32]; absolute walls vary with box load (observed +/-50-80%) "
     "but each point is internally consistent. DISCLOSURE: four oracles "
     f"({', '.join(LAMBDA_HEAVY)}) recompute per-char/per-token semantics "

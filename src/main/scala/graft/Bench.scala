@@ -202,6 +202,11 @@ object Bench {
     // artifact showed date_functions at 1.2 s where an idle-box
     // min-of-3 profile measures 0.12 s), and min-of-two inside the
     // same window removes most of it without a separate idle re-run.
+    // the concurrent passes leave a load wake (this JVM's pools
+    // winding down, GC, page-cache churn) that inflates the first
+    // sequential queries 2-3× — let it decay before the per-query
+    // numbers are taken
+    awaitCalm(maxLoad = 2.0, budgetSec = 240)
     val (wallSeq, outSeq1) = timeSuite(spark, sfDir, 1, heavy)
     val (_, outSeq2) = timeSuite(spark, sfDir, 1, heavy)
     val seq2 = outSeq2.map(o => o._1 -> o).toMap
