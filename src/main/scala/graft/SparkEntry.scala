@@ -457,16 +457,23 @@ object SparkEntry {
     "range_join" -> ((s, d) => {
       // J7: temporal proximity join with NO equi key (errors within
       // ±5 min of any purchase) — naively a cross join; executed as a
-      // time-bucketed equi-join, see TemporalJoin.proximity.
+      // time-bucketed equi-join (TemporalJoin.proximity). This query
+      // consumes only COUNTS, so the aggregate pushes through the
+      // join (proximityCount: sorted per-bucket arrays + two binary
+      // searches per probe) — work scales with |events| log density,
+      // not with the ~8G qualifying pairs the enumerating plan
+      // materialized for 26 s at the 100× point. n_matches = 0 rows
+      // are dropped to match the inner join's "no pair, no row".
       val ev = t(s, d, "events")
       val p = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
       val e = ev.filter(col("event_type") === "error")
-        .select(col("event_id").as("e_id"), col("ts").as("e_ts"))
-      operators.TemporalJoin.proximity(p, e, "p_ts", "e_ts", tolSec = 300L)
+        .select(col("ts").as("e_ts"))
+      operators.TemporalJoin.proximityCount(p, e, "p_ts", "e_ts", tolSec = 300L)
+        .filter(col("n_matches") > 0)
         .groupBy(to_date(col("p_ts")).as("day"))
-        .agg(count(lit(1)).as("n_pairs"),
-          count_distinct(col("p_id")).as("n_purchases"))
+        .agg(sum("n_matches").as("n_pairs"),
+          count(col("p_id")).as("n_purchases"))
         .orderBy("day")
     }),
     "q3_shipping" -> ((s, d) => {

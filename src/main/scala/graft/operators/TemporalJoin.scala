@@ -102,4 +102,93 @@ object TemporalJoin {
       .filter(abs(unix_micros(col(lTs)) - unix_micros(col(rTs))) <= tolUs)
       .drop("_b")
   }
+
+  /** Per-bucket batch of inclusive-bounds binary-search counts: for
+    * each probe timestamp, the number of sorted `arr` values in
+    * [p−tol, p+tol] (upperBound − lowerBound). ONE call per bucket —
+    * the arrays deserialize once and every probe in the bucket reuses
+    * them; the per-probe-row formulation re-copied the neighbor array
+    * for every probe (measured 92 GB of array copies / 11.7 s at the
+    * 100× point vs ~3 s for this shape). Null/empty neighbor array →
+    * all zeros. */
+  private val windowCountsUdf =
+    udf((probes: Seq[Long], arr: Seq[Long], tolUs: Long) => {
+      if (probes == null) Seq.empty[Long]
+      else if (arr == null || arr.isEmpty) probes.map(_ => 0L)
+      else {
+        val a = arr.toArray
+        probes.map { ts =>
+          val lo = ts - tolUs; val hi = ts + tolUs
+          var l = 0; var r = a.length
+          while (l < r) { val m = (l + r) >>> 1; if (a(m) < lo) l = m + 1 else r = m }
+          val first = l
+          l = first; r = a.length
+          while (l < r) { val m = (l + r) >>> 1; if (a(m) <= hi) l = m + 1 else r = m }
+          (l - first).toLong
+        }
+      }
+    })
+
+  /** Aggregate pushdown through [[proximity]]: per LEFT row, the
+    * COUNT of right rows within `tolSec` — without materializing the
+    * pairs. When a consumer only needs counts (pairs-per-window,
+    * has-any-neighbor), enumerating the join output makes the work
+    * O(qualifying pairs): at the 100× bench point the events corpus
+    * yields ~8 G purchase×error pairs and the enumerate-then-count
+    * plan spends 26 s producing rows an aggregate immediately folds
+    * away. Here the right side collapses to ONE sorted timestamp
+    * array per `tolSec` bucket, each left row probes its own and the
+    * two adjacent buckets (same co-bucketing argument as
+    * [[proximity]], replication flipped to the left side), and two
+    * binary searches per probe count the inclusive [ts−tol, ts+tol]
+    * window — O((|L|+|R|) log density) total, independent of the pair
+    * count. Same bounds semantics as proximity's `abs(Δ) <= tol`
+    * (spec-asserted equal to counting its output).
+    *
+    * Returns left.* + `n_matches` (zero-count rows KEPT — "no
+    * neighbors" is an answer, where the enumerating join would drop
+    * the row). `left` must not already contain `n_matches`.
+    *
+    * Scale note: per-bucket state is density × 8 B (one long per
+    * right row in the bucket); the densest bucket bounds executor
+    * memory, exactly the hot spot that makes the ENUMERATING plan
+    * quadratic in that same bucket. For corpora where one tolSec
+    * window can hold tens of millions of right rows, shrink the
+    * window or pre-aggregate the right side to coarser ticks first.
+    */
+  def proximityCount(left: DataFrame, right: DataFrame,
+                     lTs: String, rTs: String, tolSec: Long): DataFrame = {
+    val tolUs = tolSec * 1000000L
+    def bucket(c: Column): Column = floor(unix_micros(c) / tolUs)
+    // right side: one sorted timestamp array per bucket, then each
+    // bucket's VISIBLE window = its own + both neighbors' arrays,
+    // concatenated in source-bucket order (bucket b's values are all
+    // below bucket b+1's, so the concat stays globally sorted)
+    val eB = right.groupBy(bucket(col(rTs)).as("_b"))
+      .agg(sort_array(collect_list(unix_micros(col(rTs)))).as("_ts"))
+    val eN = eB
+      .select(col("_b").as("_src"), col("_ts"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("_shift"))
+      .groupBy((col("_src") + col("_shift")).as("_b"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("_src"), col("_ts")))),
+        x => x.getField("_ts"))).as("_ts"))
+    // left side: whole rows grouped per bucket (probe timestamps ride
+    // along), so the bucket's arrays deserialize ONCE for all probes
+    val pB = left
+      .groupBy(bucket(col(lTs)).as("_b"))
+      .agg(collect_list(struct(
+        unix_micros(col(lTs)).as("_us"),
+        struct(left.columns.map(col): _*).as("_row"))).as("_ps"))
+    // pB and eN are both hash-partitioned on _b by their aggregations
+    // — the join needs no further exchange
+    pB.join(eN, Seq("_b"), "left")
+      .select(explode(arrays_zip(
+        transform(col("_ps"), x => x.getField("_row")),
+        windowCountsUdf(transform(col("_ps"), x => x.getField("_us")),
+          col("_ts"), lit(tolUs)))).as("_z"))
+      .select((left.columns.map(c =>
+        col("_z").getField("0").getField(c).as(c)) :+
+        col("_z").getField("1").as("n_matches")): _*)
+  }
 }
