@@ -93,4 +93,39 @@ class ReadmeUsageSpec extends SparkSpec {
       .select("sentence").as[String].collect().toSeq
     assert(got == Seq("Hello world."))
   }
+
+  test("README example 5: temporal joins — as-of attribution and proximity counting") {
+    // --- README: temporal joins ---
+    import graft.operators.TemporalJoin
+
+    val ev = Tables.load(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("c_ts"))
+      .agg(max(col("event_id")).as("click_id")) // as-of right side must be unique per (key, ts)
+    val attributed = TemporalJoin.asof(purchases, clicks,
+      keys = Seq("user_id"), lTs = "ts", rTs = "c_ts",
+      rPayload = Seq("click_id", "c_ts"))
+    // attributed: each purchase + the latest same-user click at-or-before
+    // it (null when none) — ONE shuffle on the key, no range scan
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("ts").as("err_ts"))
+    val flagged = TemporalJoin.proximityCount(purchases, errors,
+      lTs = "ts", rTs = "err_ts", tolSec = 300L)
+    // flagged: purchases + n_matches = errors within ±5 min, no equi key.
+    // Counted via per-bucket sorted arrays + binary search — the pair set
+    // (quadratic in dense windows) is never materialized; use
+    // TemporalJoin.proximity to enumerate the pairs when you need them
+    // --- end README ---
+    val nPurch = purchases.count()
+    assert(attributed.count() == nPurch)  // left-preserving
+    assert(flagged.count() == nPurch)     // zero-count rows kept
+    assert(attributed.columns.contains("click_id"))
+    // the counting path agrees with enumerating + counting
+    val viaEnum = TemporalJoin.proximity(purchases, errors, "ts", "err_ts", 300L).count()
+    import spark.implicits._
+    val viaCount = flagged.agg(coalesce(sum(col("n_matches")), lit(0L))).as[Long].head()
+    assert(viaCount == viaEnum)
+  }
 }
