@@ -34,26 +34,80 @@ object ProfileAdhoc {
     def errors = ev.filter(col("event_type") === "error")
       .select(col("ts").as("e_ts"))
 
-    time("range_join_enumerate", reps) {
-      operators.TemporalJoin
-        .proximity(purchases,
-          ev.filter(col("event_type") === "error")
-            .select(col("event_id").as("e_id"), col("ts").as("e_ts")),
-          "p_ts", "e_ts", tolSec = 300L)
-        .groupBy(to_date(col("p_ts")).as("day"))
-        .agg(count(lit(1)).as("n_pairs"),
-          count_distinct(col("p_id")).as("n_purchases"))
-        .orderBy("day")
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
+    // inline copies of the proximityCount internals so three chunking
+    // strategies can be timed against each other on the same corpus
+    def downstream(df: DataFrame): DataFrame = df
+      .filter(col("n_matches") > 0)
+      .groupBy(to_date(col("p_ts")).as("day"))
+      .agg(sum("n_matches").as("n_pairs"),
+        count(col("p_id")).as("n_purchases"))
+      .orderBy("day")
+    val tolSec = 300L
+    val tolUs = tolSec * 1000000L
+    def bucket(c: Column): Column = floor(unix_micros(c) / tolUs)
+    def eN(right: DataFrame) = {
+      val eB = right.groupBy(bucket(col("e_ts")).as("_b"))
+        .agg(sort_array(collect_list(unix_micros(col("e_ts")))).as("_ts"))
+      eB.select(col("_b").as("_src"), col("_ts"),
+          explode(array(lit(-1L), lit(0L), lit(1L))).as("_shift"))
+        .groupBy((col("_src") + col("_shift")).as("_b"))
+        .agg(flatten(transform(
+          sort_array(collect_list(struct(col("_src"), col("_ts")))),
+          x => x.getField("_ts"))).as("_ts"))
+    }
+    def finish(pB: DataFrame, right: DataFrame, cols: Seq[String]) =
+      pB.join(eN(right), Seq("_b"), "left")
+        .select(explode(arrays_zip(
+          transform(col("_ps"), x => x.getField("_row")),
+          operators.TemporalJoin.windowCountsUdfForBench(
+            transform(col("_ps"), x => x.getField("_us")),
+            col("_ts"), lit(tolUs)))).as("_z"))
+        .select((cols.map(c =>
+          col("_z").getField("0").getField(c).as(c)) :+
+          col("_z").getField("1").as("n_matches")): _*)
+
+    time("pc_old_unchunked", reps) {
+      val left = purchases
+      val pB = left.groupBy(bucket(col("p_ts")).as("_b"))
+        .agg(collect_list(struct(unix_micros(col("p_ts")).as("_us"),
+          struct(left.columns.map(col): _*).as("_row"))).as("_ps"))
+      downstream(finish(pB, errors, left.columns.toSeq))
     }
 
-    time("range_join_count_pushdown", reps) {
-      operators.TemporalJoin
-        .proximityCount(purchases, errors, "p_ts", "e_ts", tolSec = 300L)
-        .filter(col("n_matches") > 0)
-        .groupBy(to_date(col("p_ts")).as("day"))
-        .agg(sum("n_matches").as("n_pairs"),
-          count(col("p_id")).as("n_purchases"))
-        .orderBy("day")
+    time("pc_precount_chunked", reps) {
+      downstream(operators.TemporalJoin
+        .proximityCount(purchases, errors, "p_ts", "e_ts", tolSec))
+    }
+
+    time("pc_reuse_exchange_chunked", reps) {
+      val left = purchases
+      val maxChunk = 65536
+      val lb = left.withColumn("_b", bucket(col("p_ts")))
+        .repartition(col("_b"))
+      val cnt = lb.groupBy("_b")
+        .agg(ceil(count(lit(1)) / lit(maxChunk.toDouble)).cast("long").as("_nc"))
+      val pB = lb.join(cnt, Seq("_b"))
+        .withColumn("_sub", pmod(hash(left.columns.map(col): _*), col("_nc")))
+        .groupBy(col("_b"), col("_sub"))
+        .agg(collect_list(struct(unix_micros(col("p_ts")).as("_us"),
+          struct(left.columns.map(col): _*).as("_row"))).as("_ps"))
+      downstream(finish(pB, errors, left.columns.toSeq))
+    }
+
+    time("pc_window_chunked", reps) {
+      val left = purchases
+      val maxChunk = 65536
+      val wB = Window.partitionBy(col("_b"))
+      val pB = left
+        .withColumn("_b", bucket(col("p_ts")))
+        .withColumn("_nc", ceil(count(lit(1)).over(wB) / lit(maxChunk.toDouble)).cast("long"))
+        .withColumn("_sub", pmod(hash(left.columns.map(col): _*), col("_nc")))
+        .groupBy(col("_b"), col("_sub"))
+        .agg(collect_list(struct(unix_micros(col("p_ts")).as("_us"),
+          struct(left.columns.map(col): _*).as("_row"))).as("_ps"))
+      downstream(finish(pB, errors, left.columns.toSeq))
     }
 
     spark.stop()

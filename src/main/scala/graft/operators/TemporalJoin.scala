@@ -111,6 +111,9 @@ object TemporalJoin {
     * for every probe (measured 92 GB of array copies / 11.7 s at the
     * 100× point vs ~3 s for this shape). Null/empty neighbor array →
     * all zeros. */
+  /** Exposed for ProfileAdhoc plan A/Bs only. */
+  private[graft] def windowCountsUdfForBench = windowCountsUdf
+
   private val windowCountsUdf =
     udf((probes: Seq[Long], arr: Seq[Long], tolUs: Long) => {
       if (probes == null) Seq.empty[Long]
@@ -149,15 +152,36 @@ object TemporalJoin {
     * neighbors" is an answer, where the enumerating join would drop
     * the row). `left` must not already contain `n_matches`.
     *
-    * Scale note: per-bucket state is density × 8 B (one long per
-    * right row in the bucket); the densest bucket bounds executor
-    * memory, exactly the hot spot that makes the ENUMERATING plan
-    * quadratic in that same bucket. For corpora where one tolSec
-    * window can hold tens of millions of right rows, shrink the
-    * window or pre-aggregate the right side to coarser ticks first.
+    * Scale notes (both sides bounded differently):
+    *  - LEFT: probes are chunked — an in-shuffle window count sizes a
+    *    per-bucket chunk fan-out, and rows spread across
+    *    `ceil(n/maxProbesPerChunk)` chunks by row-content hash,
+    *    so no single aggregation buffer / output row ever holds more
+    *    than ~`maxProbesPerChunk` left rows no matter how dense a
+    *    tolSec bucket gets (a traffic spike, a clock-skewed batch
+    *    import). Sparse buckets get exactly one chunk — zero fan-out
+    *    cost — and each extra chunk only re-reads the bucket's right
+    *    arrays, never re-shuffles the left. Chunking is
+    *    deterministic-by-value (content hash), so identical input
+    *    multisets chunk identically across retries; a degenerate
+    *    corpus of millions of BYTE-IDENTICAL left rows collapses to
+    *    one chunk (interchangeable rows, counts still correct — only
+    *    the memory bound reverts to disclosed-unbounded there).
+    *  - RIGHT: per-bucket state is density × 8 B (one long per right
+    *    row in the bucket, 3× via the neighbor concat); the densest
+    *    right bucket still bounds executor memory. For corpora where
+    *    one tolSec window holds tens of millions of RIGHT rows, shrink
+    *    the window or pre-aggregate the right side to coarser ticks.
+    *
+    * @param maxProbesPerChunk target left rows per aggregation chunk;
+    *        the default (64 Ki) keeps a chunk's payload in the tens of
+    *        MB for wide rows while still amortizing the right-array
+    *        deserialization that motivates batching probes at all
     */
   def proximityCount(left: DataFrame, right: DataFrame,
-                     lTs: String, rTs: String, tolSec: Long): DataFrame = {
+                     lTs: String, rTs: String, tolSec: Long,
+                     maxProbesPerChunk: Int = 65536): DataFrame = {
+    require(maxProbesPerChunk > 0, "maxProbesPerChunk must be positive")
     val tolUs = tolSec * 1000000L
     def bucket(c: Column): Column = floor(unix_micros(c) / tolUs)
     // right side: one sorted timestamp array per bucket, then each
@@ -173,15 +197,31 @@ object TemporalJoin {
       .agg(flatten(transform(
         sort_array(collect_list(struct(col("_src"), col("_ts")))),
         x => x.getField("_ts"))).as("_ts"))
-    // left side: whole rows grouped per bucket (probe timestamps ride
-    // along), so the bucket's arrays deserialize ONCE for all probes
+    // left side: whole rows grouped per (bucket, chunk) — probe
+    // timestamps ride along, so a chunk's arrays deserialize ONCE for
+    // all its probes. The chunk fan-out adapts to measured density
+    // WITHOUT a second scan: one Exchange on the bucket id feeds an
+    // unordered window that counts the bucket in place, `_nc =
+    // ceil(n/maxProbesPerChunk)` sizes the fan-out, and the grouping
+    // by (_b, _sub) runs on the SAME partitioning (subset hash
+    // partitioning satisfies the aggregation's clustered-distribution
+    // requirement — no further exchange; A/B at the 100× point: this
+    // shape costs +0.5-0.9 s over the unbounded single-group form,
+    // while a count-prepass join costs more by rescanning the left).
+    val wB = Window.partitionBy(col("_b"))
     val pB = left
-      .groupBy(bucket(col(lTs)).as("_b"))
+      .withColumn("_b", bucket(col(lTs)))
+      .withColumn("_nc",
+        ceil(count(lit(1)).over(wB) / lit(maxProbesPerChunk.toDouble))
+          .cast("long"))
+      .withColumn("_sub", pmod(hash(left.columns.map(col): _*), col("_nc")))
+      .groupBy(col("_b"), col("_sub"))
       .agg(collect_list(struct(
         unix_micros(col(lTs)).as("_us"),
         struct(left.columns.map(col): _*).as("_row"))).as("_ps"))
-    // pB and eN are both hash-partitioned on _b by their aggregations
-    // — the join needs no further exchange
+    // pB and eN are both hash-partitioned on _b (pB's aggregation kept
+    // the window's bucket partitioning) — the join needs no further
+    // exchange, and only COLLAPSED chunk rows ever sit in a buffer
     pB.join(eN, Seq("_b"), "left")
       .select(explode(arrays_zip(
         transform(col("_ps"), x => x.getField("_row")),
