@@ -35,9 +35,15 @@ def run_suite():
 
 # two passes: the first pays parse/IO warmup, the second is the steady
 # state — the ratio in the bench artifact uses the WARM (faster) wall,
-# i.e. the comparison least favorable to the Spark engine
-cold, n, errs, _ = run_suite()
-warm, _, _, per = run_suite()
+# i.e. the comparison least favorable to the Spark engine. Per-query
+# seconds are the MIN over both passes, mirroring the Spark side's
+# seq_warm_par1_min2 methodology (round-10 advisory: discarding the
+# cold pass's per-query dict tilted real_oracle_subset toward Spark).
+cold, n, errs, per_cold = run_suite()
+warm, _, _, per_warm = run_suite()
+per = {k: min(per_cold.get(k, float("inf")), per_warm.get(k, float("inf")))
+       for k in set(per_cold) | set(per_warm)}
 print(json.dumps({"duckdb_wall_cold_sec": cold,
                   "duckdb_wall_warm_sec": min(cold, warm),
+                  "queries_methodology": "per_query_min_of_2",
                   "n_queries": n, "errors": errs, "queries": per}))

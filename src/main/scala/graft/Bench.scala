@@ -210,7 +210,7 @@ object Bench {
     val (wallSeq, outSeq1) = timeSuite(spark, sfDir, 1, heavy)
     val (_, outSeq2) = timeSuite(spark, sfDir, 1, heavy)
     val seq2 = outSeq2.map(o => o._1 -> o).toMap
-    val outSeq = outSeq1.map { case (n, t, ok) =>
+    val outSeqMin2 = outSeq1.map { case (n, t, ok) =>
       seq2.get(n) match {
         case Some((_, t2, ok2)) =>
           // min over the PASSED runs only — a failed run's wall is not
@@ -219,6 +219,30 @@ object Bench {
           else if (ok2) (n, t2, true)
           else (n, t, ok)
         case None => (n, t, ok)
+      }
+    }
+    // the 15 slowest queries get a THIRD sample (round-10 item #6:
+    // same-day min-of-2 artifacts still disagreed ~2× on individual
+    // top slots — lm_score 1.139 vs 0.676 s — so round-over-round
+    // per-query comparisons cried wolf). Only the top slots re-run:
+    // they carry the cross-round narrative, and 15 queries cost
+    // seconds where a third full pass costs minutes.
+    awaitCalm(maxLoad = 2.0, budgetSec = 120)
+    val top15 = outSeqMin2.filter(_._3).sortBy(-_._2).take(15).map(_._1).toSet
+    val third = SparkEntry.queries.filter(q => top15.contains(q._1)).toSeq
+      .sortBy { case (n, _) => heavy.indexOf(n) match {
+        case -1 => Int.MaxValue; case i => i } }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
+        } catch { case _: Throwable => false }
+        name -> ((System.nanoTime() - t0) / 1e9, ok)
+      }.toMap
+    val outSeq = outSeqMin2.map { case (n, t, ok) =>
+      third.get(n) match {
+        case Some((t3, true)) if ok => (n, math.min(t, t3), true)
+        case _ => (n, t, ok)
       }
     }
     val good = outSeq.filter(_._3)
@@ -344,6 +368,46 @@ object Bench {
       System.err.println(s"[bench] skew bench FAILED: ${e.getMessage}"); ""
     }
 
+    // Aggregate-pushdown A/B for the time-proximity join (round-10
+    // item #7: the 6.8× win lived only in a commit message — now the
+    // artifact carries it at every bench point): the ENUMERATING plan
+    // (proximity join → count) vs the COUNTING plan (proximityCount)
+    // on the same purchases×errors corpus the suite's range_join uses.
+    // Second of two runs reported (first warms codegen for both).
+    val pcAb = try {
+      import org.apache.spark.sql.functions._
+      awaitCalm(maxLoad = 2.0, budgetSec = 240)
+      val ev = Tables.load(spark, sfDir, "events")
+      def purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      def errors = ev.filter(col("event_type") === "error")
+        .select(col("ts").as("e_ts"))
+      def timed(df: => org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def enumS = timed(graft.operators.TemporalJoin
+        .proximity(purchases,
+          ev.filter(col("event_type") === "error")
+            .select(col("event_id").as("e_id"), col("ts").as("e_ts")),
+          "p_ts", "e_ts", tolSec = 300L)
+        .groupBy(to_date(col("p_ts")).as("day"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("p_id")).as("n_purchases")))
+      def countS = timed(graft.operators.TemporalJoin
+        .proximityCount(purchases, errors, "p_ts", "e_ts", tolSec = 300L)
+        .filter(col("n_matches") > 0)
+        .groupBy(to_date(col("p_ts")).as("day"))
+        .agg(sum("n_matches").as("n_pairs"),
+          count(col("p_id")).as("n_purchases")))
+      enumS; countS // warm pass, discarded
+      val (e, c) = (enumS, countS)
+      s""","proximity_count_ab":{"enumerate_then_count_sec":${"%.3f".format(e)},"count_pushdown_sec":${"%.3f".format(c)},"speedup":${"%.2f".format(e / c)}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] proximity-count A/B FAILED: ${e.getMessage}"); ""
+    }
+
     // Segmenter throughput under sustained load (r9 judge item #7):
     // a ~20 s rate-source run over 10k live sessions, 1% of which
     // NEVER send a terminal char — the adversarial shape the 8 KiB
@@ -379,6 +443,45 @@ object Bench {
       s""","segmenter_sustained_rate_10k_sessions":{"input_rows":$rows,"rows_per_sec":${"%.0f".format(if (secs > 0) rows / secs else -1.0)},"batches":${warm.length},"state_rows":$stRows,"state_bytes":$stBytes,"state_bytes_per_session":$perKey,"buffer_bound_chars":${graft.streaming.SentenceSegmenter.DefaultMaxBufferChars}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] segmenter bench FAILED: ${e.getMessage}"); ""
+    }
+
+    // State-growth evidence for the other two stateful streaming ops
+    // (round-10 stretch item #8): watermarked dedup and watermarked
+    // windowed aggregation under sustained LATE data — event time lags
+    // arrival by value%5 s against a 5 s watermark, so state must
+    // PLATEAU at ~rate × retention (eviction working), not grow with
+    // stream length. The per-batch (input rows, state rows, state
+    // bytes) series goes in the artifact so the plateau is a number,
+    // not a doc claim; ~2% of dedup keys are re-deliveries.
+    val stState = try {
+      import org.apache.spark.sql.functions._
+      def run(name: String, mode: String)
+             (build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String = {
+        val ck = Files.createTempDirectory(s"graft_stbench_$name").toString
+        val src = spark.readStream.format("rate")
+          .option("rowsPerSecond", "50000").option("numPartitions", "4").load()
+        val q = build(src).writeStream.format("noop")
+          .option("checkpointLocation", ck).outputMode(mode).start()
+        Thread.sleep(20000); q.stop(); q.awaitTermination()
+        val progs = q.recentProgress.filter(_.numInputRows > 0)
+        val series = progs.flatMap(p => p.stateOperators.headOption.map(s =>
+          s"[${p.numInputRows},${s.numRowsTotal},${s.memoryUsedBytes}]"))
+          .mkString("[", ",", "]")
+        s""""$name":{"input_rows":${progs.map(_.numInputRows).sum},"batches_inputrows_staterows_statebytes":$series}"""
+      }
+      val late = col("timestamp") - expr("make_interval(0,0,0,0,0,0, value % 5)")
+      val dedup = run("watermark_dedup_50krps", "append")(src => src
+        .select(when(col("value") % 50 === 0, col("value") - 1)
+          .otherwise(col("value")).as("eid"), late.as("ts"))
+        .withWatermark("ts", "5 seconds")
+        .dropDuplicatesWithinWatermark("eid"))
+      val winAgg = run("watermark_window_agg_50krps", "update")(src => src
+        .select(late.as("ts"))
+        .withWatermark("ts", "5 seconds")
+        .groupBy(window(col("ts"), "2 seconds")).agg(count(lit(1)).as("n")))
+      s""","streaming_state_sustained":{$dedup,$winAgg}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming-state bench FAILED: ${e.getMessage}"); ""
     }
 
     // self-adjudication: DuckDB oracle wall + ratio inside the artifact
@@ -432,9 +535,9 @@ object Bench {
     // r02 recorded contended concurrent times under the same key).
     val loadAfter = loadSnapshot()
     val headline =
-      s""""value":${"%.3f".format(wallPar)},"unit":"sec","schema_version":7,"wall_par${par}_postwarm_sec":${"%.3f".format(wallPar)},"wall_par${par}_coldplans_sec":${"%.3f".format(wallParCold)},"wall_seq_warm_sec":${"%.3f".format(wallSeq)},"sum_query_sec":${"%.3f".format(good.map(_._2).sum)},"parallelism":$par,"n_queries":${outSeq.size},"queries_methodology":"seq_warm_par1_min2","idle_gate":$gate,"load_before":$loadBefore,"load_after":$loadAfter"""
+      s""""value":${"%.3f".format(wallPar)},"unit":"sec","schema_version":7,"wall_par${par}_postwarm_sec":${"%.3f".format(wallPar)},"wall_par${par}_coldplans_sec":${"%.3f".format(wallParCold)},"wall_seq_warm_sec":${"%.3f".format(wallSeq)},"sum_query_sec":${"%.3f".format(good.map(_._2).sum)},"parallelism":$par,"n_queries":${outSeq.size},"queries_methodology":"seq_warm_par1_min2_top15min3","idle_gate":$gate,"load_before":$loadBefore,"load_after":$loadAfter"""
     val json =
-      s"""{"metric":"total",$headline,"queries":$qs,"errors":$errs,"errors_par_only":$parOnlyErrs$duck$vector$skew$segTp,"sf":"$sfDir"}"""
+      s"""{"metric":"total",$headline,"queries":$qs,"errors":$errs,"errors_par_only":$parOnlyErrs$duck$vector$skew$pcAb$segTp$stState,"sf":"$sfDir"}"""
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), json)
 
