@@ -325,12 +325,15 @@ object SparkEntry {
           round(TimeSeriesOps.smape(col("value"), col("pred")), 4).as("smape"))
     }),
     "a9_longest_run" -> ((s, d) => {
-      val purchases = t(s, d, "events")
+      // fused gaps-and-islands (no spine): ONE events scan — the
+      // spine-based form scanned+aggregated the corpus twice (bounds
+      // agg + calendar join) for identical results at daily grain;
+      // TimeSeriesOpsSpec pins the two forms equal
+      val daily = t(s, d, "events")
         .filter(col("event_type") === "purchase" && col("user_id") < 50)
         .groupBy(col("user_id"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("v"))
-      val spine = TimeSeriesOps.toDailySpine(purchases, Seq("user_id"), "day", "v")
-      orderedSmall(TimeSeriesOps.longestNonNullRun(spine, Seq("user_id"), "day", "v")
+      orderedSmall(TimeSeriesOps.longestConsecutiveRun(daily, Seq("user_id"), "day")
         .select("user_id", "run_len", "run_start"), "user_id")
     }),
     "a14_budget" -> ((s, d) =>
@@ -901,11 +904,15 @@ object SparkEntry {
         .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
           (length(col("text")) - length(translate(col("text"), " ", "")) + 1)
             .cast("long").as("toks"))
-      graft.operators.Packing.packSequences(docs, col("shard"), col("doc_id"),
-          col("toks"), 2048L)
-        .groupBy("shard", "seq_id")
-        .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
-        .orderBy("shard", "seq_id")
+      // the per-sequence summary is small at bench SF (#tokens/2048
+      // rows) → orderedSmall for the presentation sort; a final global
+      // orderBy re-ran the whole window+agg chain for range sampling
+      orderedSmall(
+        graft.operators.Packing.packSequences(docs, col("shard"), col("doc_id"),
+            col("toks"), 2048L)
+          .groupBy("shard", "seq_id")
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens")),
+        "shard", "seq_id")
     }),
     "w5_windows" -> ((s, d) => {
       val daily = t(s, d, "events").filter(col("user_id") === 2)
@@ -1318,10 +1325,13 @@ object SparkEntry {
       val rest = regexp_replace(noSlash, "^[a-zA-Z]+://[^/]*", "")
       val canonical = concat(
         regexp_replace(schemeHost, "^https://www\\.", "https://"), rest)
-      raw.select(col("url"), canonical.as("canonical"))
+      // canonical-form groups are enum-sized (5 hosts × 40 ids ×
+      // variant flags) → orderedSmall replaces the global range sort,
+      // whose boundary sampling re-ran the whole canonicalize+agg chain
+      orderedSmall(raw.select(col("url"), canonical.as("canonical"))
         .groupBy("canonical")
-        .agg(count(lit(1)).as("n_docs"), count_distinct(col("url")).as("n_raw"))
-        .orderBy("canonical")
+        .agg(count(lit(1)).as("n_docs"), count_distinct(col("url")).as("n_raw")),
+        "canonical")
     }),
     "heavy_hitters" -> ((s, d) => {
       // Misra-Gries frequency sketch (functions/FrequentItems.scala):
@@ -1403,15 +1413,25 @@ object SparkEntry {
             concat(lit(" see https://data.example.org/doc/"), col("doc_id"),
               lit(" for details"))).otherwise(lit(""))).as("t"))
       // one compiled traversal per row: counts + masked text together
-      // (the per-kind regexp_* composition re-scanned the text 8×)
-      withPii.select(col("doc_id"), Pii.scrub(col("t")).as("p"))
+      // (the per-kind regexp_* composition re-scanned the text 8×).
+      // Sort-early shape: the global order is established BEFORE the
+      // scanner runs, so the range sampler re-executes only the cheap
+      // synthesis, not the UDF+md5 chain (a final orderBy re-ran the
+      // whole pipeline for boundary sampling — 2.3× slower at the
+      // 100× point). The explicit partition count pins post-shuffle
+      // parallelism: AQE would coalesce the small pre-scan shuffle to
+      // one partition and serialize the CPU-bound scanner stage.
+      withPii
+        .repartitionByRange(
+          s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .select(col("doc_id"), Pii.scrub(col("t")).as("p"))
         .select(col("doc_id"),
           col("p._1").as("n_emails"),
           col("p._2").as("n_phones"),
           col("p._3").as("n_urls"),
           length(col("p._4")).cast("bigint").as("masked_len"),
           md5(col("p._4")).as("masked_md5"))
-        .orderBy("doc_id")
     }),
     "multimodal_decode" -> ((s, d) => {
       val assets = tp(s, d, "documents")

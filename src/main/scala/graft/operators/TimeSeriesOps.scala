@@ -93,6 +93,32 @@ object TimeSeriesOps {
       .filter(col("_rn") === 1).drop("_rn", "_nullCnt")
   }
 
+  /** A9 fused form: longest run of CONSECUTIVE days per key, straight
+    * from a (keys, day)-distinct daily frame — no spine. Equivalent to
+    * [[toDailySpine]] + [[longestNonNullRun]] when values exist exactly
+    * on observed days (the spine's inserted nulls break runs precisely
+    * where a calendar gap does), but ONE scan instead of two (the spine
+    * needs a bounds aggregation plus a calendar join over the same
+    * input) and no explode. Classic gaps-and-islands: `day −
+    * row_number` is constant within a consecutive run. Use
+    * [[longestNonNullRun]] when the input is already a spine with
+    * genuine nulls (e.g. post-interpolation leftovers).
+    * Returns (keys..., run_len, run_start). */
+  def longestConsecutiveRun(daily: DataFrame, keys: Seq[String],
+                            dayCol: String): DataFrame = {
+    val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(dayCol))
+    val islands = daily
+      .withColumn("_grp",
+        datediff(col(dayCol), lit(java.sql.Date.valueOf("1970-01-01"))) -
+          row_number().over(byKey))
+      .groupBy((keys.map(col) :+ col("_grp")): _*)
+      .agg(count(lit(1)).as("run_len"), min(col(dayCol)).as("run_start"))
+    val best = Window.partitionBy(keys.map(col): _*)
+      .orderBy(desc("run_len"), col("run_start"))
+    islands.withColumn("_rn", row_number().over(best))
+      .filter(col("_rn") === 1).drop("_rn", "_grp")
+  }
+
   /** Calendar features (ref data_utils.py:49-61): day-of-year /
     * day-of-week sin+cos seasonal encodings. */
   def calendarFeatures(df: DataFrame, dayCol: String): DataFrame = {

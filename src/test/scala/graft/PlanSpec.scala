@@ -38,6 +38,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("a9 longest-run: both filters reach the scan, ONE events scan, tiny exchange tail") {
+    // round-10 item #3: everything after the first groupBy is ≤50
+    // users × ~30 days — the corpus must be read once, with both
+    // predicates pushed, and the islands→rank chain must not re-shuffle
+    // more than the daily aggregate + the per-user window
+    val p = plan("a9_longest_run")
+    assert(p.contains("EqualTo(event_type,purchase)"), p.take(2000))
+    assert(p.contains("LessThan(user_id,50)"), p.take(2000))
+    assert("FileScan".r.findAllIn(p).length == 1,
+      s"expected one events scan, plan:\n${p.take(3000)}")
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"expected <=2 exchanges, plan:\n${p.take(3000)}")
+  }
+
   test("knn scan keeps whole-stage codegen with the native cosine (v1)") {
     val p = plan("v1_knn")
     assert(p.contains("cosinesimilarity") || p.contains("CosineSimilarity")

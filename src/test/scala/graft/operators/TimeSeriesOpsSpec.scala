@@ -64,6 +64,26 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out("b") == ((1L, d("2025-01-01"))))
   }
 
+  test("longestConsecutiveRun equals spine + longestNonNullRun on a random sparse daily frame") {
+    // the fused no-spine form must agree with the spine-based pipeline
+    // on arbitrary gap patterns: random ~half-dense day sets per key
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      k <- Seq("a", "b", "c", "d")
+      i <- 0 until 60 if rnd.nextBoolean()
+    } yield (k, Date.valueOf(java.time.LocalDate.of(2025, 1, 1).plusDays(i)), 1.0)
+    val daily = rows.toDF("key", "day", "v")
+    val fused = TimeSeriesOps.longestConsecutiveRun(daily, Seq("key"), "day")
+      .select("key", "run_len", "run_start")
+      .as[(String, Long, Date)].collect().sorted.toSeq
+    val spine = TimeSeriesOps.toDailySpine(daily, Seq("key"), "day", "v")
+    val viaSpine = TimeSeriesOps.longestNonNullRun(spine, Seq("key"), "day", "v")
+      .select("key", "run_len", "run_start")
+      .as[(String, Long, Date)].collect().sorted.toSeq
+    assert(fused == viaSpine)
+    assert(fused.map(_._1) == Seq("a", "b", "c", "d"))
+  }
+
   test("slidingWindows emits only complete lookback×horizon windows") {
     val rows = (1 to 6).map(i => ("k", i, i.toDouble)).toDF("key", "t", "v")
     val out = TimeSeriesOps.slidingWindows(rows, Seq("key"), "t", "v", 3, 2)
