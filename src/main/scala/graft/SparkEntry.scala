@@ -704,11 +704,11 @@ object SparkEntry {
       tp(s, d, "documents")
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
-    "simhash_sketch" -> ((s, d) => // pinned VALUES oracle (PinnedOracles)
+    "simhash_sketch" -> ((s, d) => // real oracle: DuckDB HUGEINT recompute (SketchOracleSql)
       tp(s, d, "documents")
         .select(col("doc_id"), Dedup.simhash(col("text")).as("sketch"))
         .orderBy("doc_id")),
-    "minhash_bands" -> ((s, d) => { // pinned VALUES oracle (deterministic JVM-hash minhash)
+    "minhash_bands" -> ((s, d) => { // real oracle: DuckDB HUGEINT recompute (SketchOracleSql)
       val bandsUdf = Dedup.lshBandBucketsUdf(3, 16, 4)
       tp(s, d, "documents")
         .select(col("doc_id"), explode(bandsUdf(col("text"))).as("b"))
@@ -1552,7 +1552,7 @@ object SparkEntry {
               size(array_union(col("sha"), col("shb")))), 4).as("jaccard"))
         .orderBy("id_a")
     }),
-    "simhash_neardups" -> ((s, d) => // pinned VALUES oracle (deterministic 64-bit sketch bands)
+    "simhash_neardups" -> ((s, d) => // real oracle: all-group-pairs recompute (SketchOracleSql)
       // group-level pairs between distinct sketches (sketch-identical
       // docs collapse to a representative before banding — the
       // clique-free 100 TB shape); n_doc_pairs reconstructs the
@@ -1605,7 +1605,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_contaminated"),
           coalesce(sum("n_collisions"), lit(0L)).cast("bigint").as("n_collisions"))
     }),
-    "minhash_neardups" -> ((s, d) => // pinned VALUES oracle (deterministic band buckets)
+    "minhash_neardups" -> ((s, d) => // real oracle: all-pairs exact-verify recompute (SketchOracleSql)
       Dedup.minhashNearDups(
         tp(s, d, "documents").filter(col("doc_id") < 300), "doc_id", "text",
         shingleN = 3, numHashes = 16, bands = 8, threshold = 0.5)
@@ -2375,19 +2375,15 @@ object SparkEntry {
       "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start, count(*) AS n " +
       "FROM w WHERE wm IS NULL OR ts >= wm GROUP BY 1 ORDER BY 1"),
     "index_append_dedup" -> ("SELECT * FROM (VALUES (CAST(10 AS BIGINT), CAST(7 AS BIGINT))) AS t(n_raw, n_deduped)"),
-    // The five sketch queries below pin their sf0.01 outputs as VALUES
-    // oracles: every value derives from deterministic JVM arithmetic
-    // (mix64 hashing; the seeded constant-chunked k-means fit), so an
-    // exact-value regression gate is strictly stronger than the
-    // rows-only check they had. mix64 itself has no tractable SQL
-    // form, which is why these are pins rather than recomputations.
-    "minhash_bands" -> ("SELECT * FROM (VALUES (CAST(0 AS INT), CAST(480 AS BIGINT), CAST(500 AS BIGINT)), " +
-      "(CAST(1 AS INT), CAST(478 AS BIGINT), CAST(500 AS BIGINT)), " +
-      "(CAST(2 AS INT), CAST(480 AS BIGINT), CAST(500 AS BIGINT)), " +
-      "(CAST(3 AS INT), CAST(477 AS BIGINT), CAST(500 AS BIGINT))) " +
-      "AS t(band, n_buckets, n_docs) ORDER BY band"),
-    "minhash_neardups" -> ("SELECT * FROM (VALUES (CAST(7 AS BIGINT), CAST(0.9771 AS DOUBLE))) AS t(n_pairs, avg_jaccard)"),
-    "simhash_neardups" -> ("SELECT * FROM (VALUES (CAST(17 AS BIGINT), CAST(2.0588 AS DOUBLE), CAST(17 AS BIGINT))) AS t(n_pairs, avg_hamming, n_doc_pairs)"),
+    // The four mix64-sketch oracles are REAL DuckDB recomputations
+    // since round 11 — HUGEINT mod-2^64 arithmetic re-derives every
+    // sketch from the raw text (see SketchOracleSql's scaladoc for the
+    // per-query equivalence arguments). embed_neardups and ann_pq stay
+    // pinned: float32 rounding / the seeded k-means fit have no
+    // bit-exact SQL form.
+    "minhash_bands" -> SketchOracleSql.minhashBands,
+    "minhash_neardups" -> SketchOracleSql.minhashNearDups,
+    "simhash_neardups" -> SketchOracleSql.simhashNearDups,
     "embed_neardups" -> ("SELECT * FROM (VALUES (CAST(199 AS BIGINT), CAST(1.0 AS DOUBLE), " +
       "CAST(199 AS BIGINT))) AS t(n_pairs, avg_cos, n_planted_recovered)"),
     // real oracle for LSH→connected-components clustering: identical
@@ -2411,8 +2407,7 @@ object SparkEntry {
     // (hash-sampled value-sorted fits); rerank=64 keeps IVF-PQ at the
     // IVF probe ceiling, so the pin equals ann_ivf's
     "ann_pq" -> ("SELECT * FROM (VALUES (CAST(10 AS INT), CAST(4 AS INT), CAST(8 AS INT), CAST(0.6 AS DOUBLE))) AS t(k, nprobe, m, recall)"),
-    // 500-row pin lives in its own file (PinnedOracles.scala)
-    "simhash_sketch" -> PinnedOracles.simhashSketchSql,
+    "simhash_sketch" -> SketchOracleSql.simhashSketch,
     "from_json_props" -> ("SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k, " +
       "CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS max_k " +
       "FROM events GROUP BY event_type ORDER BY event_type"),

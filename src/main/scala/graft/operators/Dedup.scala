@@ -79,7 +79,7 @@ object Dedup {
     mins.toSeq
   })
 
-  private def mix64(h0: Long): Long = {
+  private[graft] def mix64(h0: Long): Long = {
     var h = h0
     h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
     h ^= (h >>> 33); h *= 0xc4ceb9fe1a85ec53L
