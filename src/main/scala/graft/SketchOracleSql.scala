@@ -199,6 +199,73 @@ GROUP BY b.band ORDER BY b.band"""
       .replace("VALUES_SEEDS", s"VALUES $seedValues")
   }
 
+  /** `embed_neardups` recomputation: the sign-LSH hyperplanes are
+    * deterministic doubles (floorMod(mix64(...), 1e6)/1e6 − 0.5 —
+    * signBucketUdf's derivation, re-run here with the JVM's own mix64
+    * and emitted as shortest-round-trip literals), and the bucket of
+    * a vector is the SIGN of a sequential double fold — IEEE
+    * determinism makes DuckDB's list_reduce over identical products
+    * bit-equal to the UDF's loop, which matters because the planted
+    * corpus contains a genuine LSH false negative (one rescaled copy
+    * flips one hyperplane sign; the oracle reproduces 199-of-200
+    * recovered, not 200). The planted rescale is float32 arithmetic;
+    * a float product/sum of two floats is exact in double, so
+    * CAST(x * f AS FLOAT) is the same single rounding the engine
+    * performs. The cosine verify needs no bit-exactness: every
+    * qualifying pair sits at cos ≈ 0.999998 against a 0.8 threshold
+    * and a 4-decimal rounding. */
+  val embedNearDups: String = {
+    val dim = 64
+    val bits = 8
+    val planes = for (b <- 0 until bits; j <- 0 until dim) yield
+      (java.lang.Math.floorMod(
+        operators.Dedup.mix64(
+          j.toLong * 0x9e3779b97f4a7c15L + (b + 1).toLong * 0xc2b2ae3d27d4eb4fL),
+        1000000L).toDouble / 1000000.0) - 0.5
+    val pw = planes.map(_.toString).mkString("[", ",", "]")
+    val fl = (0 until 7)
+      .map(k => s"CAST(${(1.0f + (k - 3).toFloat * 0.001f).toDouble} AS FLOAT)")
+      .mkString("[", ",", "]")
+    def fold(expr: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(ea)+1), i -> $expr)), (a,x) -> a+x)"
+    s"""WITH consts AS MATERIALIZED (SELECT $fl AS fl, $pw AS pw),
+base AS MATERIALIZED (
+  SELECT vec_id, embedding AS emb FROM embeddings WHERE vec_id < 200 AND embedding IS NOT NULL),
+planted AS MATERIALIZED (
+  SELECT vec_id + 1000 AS vec_id,
+    list_transform(range(1, len(emb) + 1),
+      i -> CAST(emb[i] * c.fl[(i - 1) % 7 + 1] AS FLOAT)) AS emb
+  FROM base CROSS JOIN consts c),
+allv AS MATERIALIZED (SELECT vec_id, emb FROM base UNION ALL SELECT vec_id, emb FROM planted),
+dots AS MATERIALIZED (
+  SELECT v.vec_id, p.b,
+    list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(1, len(v.emb) + 1),
+          i -> CAST(v.emb[i] AS DOUBLE) * c.pw[p.b * $dim + i])),
+      (a, x) -> a + x) AS d
+  FROM allv v CROSS JOIN (SELECT unnest(range(0, $bits)) AS b) p CROSS JOIN consts c),
+bk AS MATERIALIZED (
+  SELECT vec_id, CAST(sum(CASE WHEN d >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id),
+withb AS (SELECT a.vec_id, a.emb, b.bucket FROM allv a JOIN bk b USING (vec_id)),
+cand AS (
+  SELECT x.vec_id AS idA, y.vec_id AS idB, x.emb AS ea, y.emb AS eb
+  FROM withb x JOIN withb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+cosed AS MATERIALIZED (
+  SELECT idA, idB,
+    (CASE WHEN sqrt(nx) * sqrt(ny) = 0 THEN 0.0 ELSE dot / (sqrt(nx) * sqrt(ny)) END) AS cos
+  FROM (
+    SELECT idA, idB,
+      ${fold("CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)")} AS dot,
+      ${fold("CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)")} AS nx,
+      ${fold("CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)")} AS ny
+    FROM cand))
+SELECT count(*) AS n_pairs, round(avg(cos), 4) AS avg_cos,
+  CAST(coalesce(sum(CASE WHEN idB - idA = 1000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_planted_recovered
+FROM cosed WHERE cos >= 0.8"""
+  }
+
   val minhashNearDups: String =
     s"""WITH sh AS MATERIALIZED (
   SELECT doc_id, list_distinct(CASE WHEN len(ts) < 3 THEN CAST([] AS VARCHAR[]) ELSE

@@ -1611,7 +1611,7 @@ object SparkEntry {
         shingleN = 3, numHashes = 16, bands = 8, threshold = 0.5)
         .agg(count(lit(1)).as("n_pairs"),
           round(avg("jaccard"), 4).as("avg_jaccard"))),
-    "embed_neardups" -> ((s, d) => { // pinned VALUES oracle (sign-LSH, deterministic)
+    "embed_neardups" -> ((s, d) => { // real oracle: bit-exact sign-LSH recompute (SketchOracleSql)
       // The raw embeddings are random, so no pair clears the cosine
       // threshold and a bare run would pin n_pairs = 0 — a dedup query
       // that asserts it finds nothing. Plant near-duplicates instead: a
@@ -2375,17 +2375,16 @@ object SparkEntry {
       "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start, count(*) AS n " +
       "FROM w WHERE wm IS NULL OR ts >= wm GROUP BY 1 ORDER BY 1"),
     "index_append_dedup" -> ("SELECT * FROM (VALUES (CAST(10 AS BIGINT), CAST(7 AS BIGINT))) AS t(n_raw, n_deduped)"),
-    // The four mix64-sketch oracles are REAL DuckDB recomputations
-    // since round 11 — HUGEINT mod-2^64 arithmetic re-derives every
-    // sketch from the raw text (see SketchOracleSql's scaladoc for the
-    // per-query equivalence arguments). embed_neardups and ann_pq stay
-    // pinned: float32 rounding / the seeded k-means fit have no
-    // bit-exact SQL form.
+    // The five sketch oracles are REAL DuckDB recomputations since
+    // round 11 — HUGEINT mod-2^64 arithmetic re-derives every text
+    // sketch, and embed_neardups' sign-LSH buckets come from IEEE-
+    // deterministic double folds (see SketchOracleSql's scaladoc for
+    // the per-query equivalence arguments). The ann_* pins remain:
+    // the seeded k-means fit has no bit-exact SQL form.
     "minhash_bands" -> SketchOracleSql.minhashBands,
     "minhash_neardups" -> SketchOracleSql.minhashNearDups,
     "simhash_neardups" -> SketchOracleSql.simhashNearDups,
-    "embed_neardups" -> ("SELECT * FROM (VALUES (CAST(199 AS BIGINT), CAST(1.0 AS DOUBLE), " +
-      "CAST(199 AS BIGINT))) AS t(n_pairs, avg_cos, n_planted_recovered)"),
+    "embed_neardups" -> SketchOracleSql.embedNearDups,
     // real oracle for LSH→connected-components clustering: identical
     // planting, but clusters recomputed as exact-content groups (the
     // two are provably equal — see the query comment)
