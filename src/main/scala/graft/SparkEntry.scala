@@ -705,17 +705,22 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
     "simhash_sketch" -> ((s, d) => // real oracle: DuckDB HUGEINT recompute (SketchOracleSql)
+      // sort-early shape (the pii_scrub treatment): order on doc_id is
+      // established BEFORE the sketch UDF, so the range sampler probes
+      // only the scan, not the UDF chain, and the explicit partition
+      // count keeps the UDF stage wide under AQE
       tp(s, d, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("sketch"))
-        .orderBy("doc_id")),
+        .repartitionByRange(
+          s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("sketch"))),
     "minhash_bands" -> ((s, d) => { // real oracle: DuckDB HUGEINT recompute (SketchOracleSql)
       val bandsUdf = Dedup.lshBandBucketsUdf(3, 16, 4)
-      tp(s, d, "documents")
+      orderedSmall(tp(s, d, "documents")
         .select(col("doc_id"), explode(bandsUdf(col("text"))).as("b"))
         .groupBy(col("b._1").as("band"))
         .agg(countDistinct(col("b._2")).as("n_buckets"),
-          count(lit(1)).as("n_docs"))
-        .orderBy("band")
+          count(lit(1)).as("n_docs")), "band")
     }),
   )
 
