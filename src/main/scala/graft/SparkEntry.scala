@@ -673,14 +673,16 @@ object SparkEntry {
         .orderBy("lang")),
     "text_quality" -> ((s, d) => {
       // mean word length via pure length arithmetic — no regex, no
-      // array allocation: non-space chars = length(translate(· ,' ','')),
-      // and split-on-' ' token count = #spaces + 1 (split keeps empty
-      // fields, so the identity is exact, not approximate). Same
-      // values as the regexp_replace/split form; measured ~even at
-      // the x100 point (the query is scan-bound) but allocates
-      // nothing per row.
-      val nonSpace = length(translate(col("text"), " ", ""))
-      val nTokens = length(col("text")) - nonSpace + 1
+      // array allocation: space count from the in-place codegen
+      // CountByte loop (ASCII bytes never occur inside multi-byte
+      // UTF-8 sequences, so byte count == codepoint count), non-space
+      // chars = length - #spaces, and split-on-' ' token count =
+      // #spaces + 1 (split keeps empty fields, so the identity is
+      // exact, not approximate). Same values as the
+      // regexp_replace/split form, zero per-row allocation.
+      val nSpaces = graft.plans.StringCount.countChar(col("text"), ' ')
+      val nonSpace = length(col("text")) - nSpaces
+      val nTokens = nSpaces + 1
       orderedSmall(tp(s, d, "documents")
         .groupBy("source")
         .agg(round(sum(nonSpace).cast("double") /
@@ -905,10 +907,14 @@ object SparkEntry {
       // size(split(text,' ')) including empties) — stays inside
       // whole-stage codegen with no per-doc array allocation on the
       // 100 TB scan path
+      // #spaces + 1 == size(split(text,' ')) incl. empties — counted
+      // in place by the codegen CountByte loop; the earlier
+      // length(translate(·,' ','')) arithmetic allocated a rewritten
+      // copy of every document just to subtract lengths (~40% of the
+      // scan job at x100, ProfileJoin r12)
       val docs = tp(s, d, "documents")
         .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
-          (length(col("text")) - length(translate(col("text"), " ", "")) + 1)
-            .cast("long").as("toks"))
+          (graft.plans.StringCount.countChar(col("text"), ' ') + 1).as("toks"))
       // the per-sequence summary is small at bench SF (#tokens/2048
       // rows) → orderedSmall for the presentation sort; a final global
       // orderBy re-ran the whole window+agg chain for range sampling
