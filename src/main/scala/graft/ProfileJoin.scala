@@ -104,25 +104,15 @@ object ProfileJoin {
     Attribution(wall, jobSum, union, bcastDriver, jobsJson, bcastJson)
   }
 
-  def main(args: Array[String]): Unit = {
-    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/scale/x100")
-    val s = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+  /** SHUFFLE_HASH counterfactuals of the broadcast-join suite queries
+    * (j1/j4/salted): the alternative to the serial driver-side
+    * hash-relation build is a parallel partitioned build — which loses
+    * 2-4× here because it exchanges the 60M-row fact. Exposed so Bench
+    * can embed the A/B next to the attribution (the floor is only a
+    * floor if the obvious alternative is measurably worse). */
+  def shjVariants(s: org.apache.spark.sql.SparkSession,
+                  d: String): Seq[(String, () => DataFrame)] = {
     import org.apache.spark.sql.functions._
-    s.range(100000).agg(sum("id")).collect()
-    SparkEntry.warmTableStats(s, d)
-    val names = if (args.nonEmpty) args.toSeq
-      else Seq("j1_equijoin", "j4_semijoin", "q3_shipping", "salted_join", "asof_join")
-    names.foreach { n =>
-      val q = SparkEntry.queries(n)
-      q(s, d).write.mode("overwrite").format("noop").save() // warm codegen
-      (1 to 3).foreach { i =>
-        val a = attribute(s)(q(s, d))
-        println(s"[jfp] $n run$i ${a.json}")
-      }
-    }
-
-    // A/B: the same joins with the small side SHUFFLE_HASH'd instead of
-    // broadcast — the driver-build floor vs a parallel partitioned build
     def t2(tab: String) = Tables.load(s, d, tab)
     def j1Shj = {
       val o = t2("orders")
@@ -151,7 +141,29 @@ object ProfileJoin {
         .orderBy("o_orderpriority")
     }
     Seq(("j1_shj", () => j1Shj), ("j4_shj", () => j4Shj),
-        ("salted_shj", () => saltedShj)).foreach { case (n, mk) =>
+      ("salted_shj", () => saltedShj))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/scale/x100")
+    val s = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    import org.apache.spark.sql.functions._
+    s.range(100000).agg(sum("id")).collect()
+    SparkEntry.warmTableStats(s, d)
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("j1_equijoin", "j4_semijoin", "q3_shipping", "salted_join", "asof_join")
+    names.foreach { n =>
+      val q = SparkEntry.queries(n)
+      q(s, d).write.mode("overwrite").format("noop").save() // warm codegen
+      (1 to 3).foreach { i =>
+        val a = attribute(s)(q(s, d))
+        println(s"[jfp] $n run$i ${a.json}")
+      }
+    }
+
+    // A/B: the same joins with the small side SHUFFLE_HASH'd instead of
+    // broadcast — the driver-build floor vs a parallel partitioned build
+    shjVariants(s, d).foreach { case (n, mk) =>
       mk().write.mode("overwrite").format("noop").save()
       (1 to 3).foreach { i =>
         val a = attribute(s)(mk())
