@@ -68,6 +68,17 @@ object Sessions {
       // granularity; at real scale bytesPerCore ≥ maxPartitionBytes so
       // this floor never engages.
       .config("spark.sql.files.openCostInBytes", "131072")
+      // minPartitionNum feeds Spark's maxSplitBytes formula
+      // (min(maxPartitionBytes, max(openCost, totalBytes/minPartitionNum))).
+      // A/B'd at the 100x point (1.1 GB fact → 36/64/96 splits): the
+      // hypothesis that the 4-task second wave doubles scan-bound
+      // walls is FALSE — a6_pricing_summary min-of-3 is 0.96/1.04/0.96 s
+      // across 32/64/96 and finer splits regress a9_longest_run
+      // 0.47→0.69 s (per-task row-group open cost). Scan-bound walls
+      // here are parquet-decode-bound, so the default stays =cores;
+      // env override kept for re-measurement.
+      .config("spark.sql.files.minPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_SPLITS", "32"))
       // shuffle joins: build a hash table instead of sorting both
       // sides when one side is small enough (Spark still requires the
       // size asymmetry before it picks SHJ, and AQE can re-plan).

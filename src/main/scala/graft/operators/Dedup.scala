@@ -254,12 +254,26 @@ object Dedup {
       col("sk").as("skA"), col("gsize").as("sizeA"))
     val b = capped.select(col("band"), col("bucket"), col("id").as("idB"),
       col("sk").as("skB"), col("gsize").as("sizeB"))
+    // A pair that matches in k bands is emitted k times by the join.
+    // Because bucket IS the band's 16-bit slice, band b matches iff
+    // slice b of skA^skB is zero — so "keep only the first matching
+    // band" is computable ROW-LOCALLY from the xor, replacing the
+    // dropDuplicates shuffle (a whole extra stage at the 100x bench
+    // point) with a codegen filter. Under hot-bucket capping a pair
+    // whose earliest matching band was capped is dropped rather than
+    // rescued by a later band — capped buckets already forfeit the
+    // recall guarantee and report drops via the observed metric.
+    val xor = col("skA").bitwiseXOR(col("skB"))
+    def sliceZero(bnd: Int) =
+      shiftright(xor, bnd * 16).bitwiseAND(lit(0xFFFFL)) === lit(0L)
+    val firstMatchBand = when(sliceZero(0), lit(0))
+      .when(sliceZero(1), lit(1)).when(sliceZero(2), lit(2)).otherwise(lit(3))
     a.join(b, Seq("band", "bucket")).filter(col("idA") < col("idB"))
+      .filter(col("band") === firstMatchBand)
       .select(col("idA"), col("idB"),
-        bit_count(col("skA").bitwiseXOR(col("skB"))).as("hamming"),
+        bit_count(xor).as("hamming"),
         col("sizeA"), col("sizeB"))
       .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("idA", "idB")
   }
 
   /** Eval-set decontamination (train-test overlap): corpus docs
