@@ -417,16 +417,21 @@ object SparkEntry {
         .orderBy("r_name")
     }),
     "j4_semijoin" -> ((s, d) => {
-      // semi-join existence check: broadcast ONLY the key column —
-      // the driver-side hash-relation build is the serial cost of a
-      // broadcast join, and a one-column LongHashedRelation builds
-      // ~25% faster than the pruned-but-wider row form at the x100
-      // point (2.0 s vs 2.7 s). Shuffle variants measured 3× worse
-      // (the 60M-row fact exchange dwarfs the build).
+      // semi-join existence check via broadcast BITMAP
+      // (Relational.bitmapSemiJoin): the r12 join_floor_profile showed
+      // the broadcast semi join's wall was 75% driver chain — collect
+      // 0.14 s + SINGLE-THREADED 3M-row LongHashedRelation build
+      // 1.00 s + 254 MB transmit 0.26 s at x100 (and the SHUFFLE_HASH
+      // alternative loses 2.3×: the 60M-row fact exchange dwarfs the
+      // build). Existence needs no hash table: the same collect feeds
+      // a ~15 ms bitset OR-build, the broadcast is 7.5 MB, and the
+      // probe fuses into the fact scan as a codegen filter — no join
+      // operator, fact never shuffled. Sparse key spaces fall back to
+      // the broadcast semi join inside the operator.
       val li = t(s, d, "lineitem")
       val urgent = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
         .select("o_orderkey")
-      li.join(broadcast(urgent), li("l_orderkey") === urgent("o_orderkey"), "left_semi")
+      Relational.bitmapSemiJoin(li, urgent, "l_orderkey", "o_orderkey")
         .agg(count(lit(1)).as("n"))
     }),
     "asof_join" -> ((s, d) => {

@@ -154,4 +154,62 @@ object Relational {
       .filter(col("_spent") < budget)
       .drop("_spent")
   }
+
+  /** Exact semi-join on an integral key via a broadcast BITMAP instead
+    * of a broadcast hash relation. Result equals
+    * `fact.join(broadcast(keys), fact(factKey) === keys(keyCol), "left_semi")`
+    * (spec-asserted, nulls never match on either path).
+    *
+    * Why: existence-only semantics don't need a hash table. The
+    * broadcast semi join's driver chain at the 100× bench point —
+    * collect 0.14 s + SINGLE-THREADED 3 M-row HashedRelation build
+    * 1.00 s + 254 MB transmit 0.26 s (`join_floor_profile`) — was
+    * 75% of `j4_semijoin`'s wall. Here the same parallel collect
+    * feeds a `long[]` bitset OR-built in ~15 ms, the broadcast is
+    * range/8 bytes (7.5 MB for a 60 M-key span), and the probe is a
+    * codegen filter FUSED INTO THE FACT SCAN — no join operator in
+    * the plan at all, the fact is never shuffled, and every scan
+    * pushdown/pruning survives untouched.
+    *
+    * Driver contract: the key side must fit on the driver — the SAME
+    * contract `broadcast()` already imposes (the hash path collects
+    * the identical rows); `spark.driver.maxResultSize` bounds it
+    * loudly. Density contract: the bitset spans the OBSERVED key
+    *   range; when `(max-min)/8` exceeds `maxBitmapBytes` (sparse or
+    * adversarial key spaces — e.g. 64-bit hash keys) this falls back
+    * to the plain broadcast semi join rather than allocating an
+    * arbitrary-size driver array. TPC-H-style surrogate keys are
+    * dense by construction, the common case for FK existence checks.
+    * At 1000-executor scale the bitmap ships once per executor via
+    * torrent broadcast — smaller and cheaper than the equivalent
+    * HashedRelation by ~an order of magnitude. */
+  def bitmapSemiJoin(fact: DataFrame, keys: DataFrame, factKey: String,
+                     keyCol: String,
+                     maxBitmapBytes: Long = 64L << 20): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val spark = fact.sparkSession
+    val keyArr = keys.select(col(keyCol).cast("long"))
+      .where(col(keyCol).isNotNull)
+      .collect().map(_.getLong(0))
+    if (keyArr.isEmpty) return fact.where(lit(false))
+    var mn = Long.MaxValue; var mx = Long.MinValue
+    keyArr.foreach { k => if (k < mn) mn = k; if (k > mx) mx = k }
+    // range arithmetic in BigInt: mx-mn can overflow Long for
+    // adversarial key spaces, which MUST take the fallback
+    val spanBits = BigInt(mx) - BigInt(mn) + 1
+    if (spanBits > BigInt(maxBitmapBytes) * 8) {
+      fact.join(broadcast(keys.select(col(keyCol).cast("long").as("_bsj_key"))),
+        fact(factKey).cast("long") === col("_bsj_key"), "left_semi")
+    } else {
+      val nWords = ((spanBits.toLong + 63) >>> 6).toInt
+      val words = new Array[Long](nWords)
+      keyArr.foreach { k =>
+        val idx = k - mn
+        words((idx >>> 6).toInt) |= 1L << (idx & 63)
+      }
+      val bc = spark.sparkContext.broadcast(words)
+      fact.where(ColumnBridge.column(graft.plans.BitmapContains(
+        ColumnBridge.expression(fact(factKey).cast("long")), bc, mn)))
+    }
+  }
 }

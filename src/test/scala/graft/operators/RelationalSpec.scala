@@ -158,4 +158,43 @@ class RelationalSpec extends SparkSpec {
     // spent-before: id1=0, id2=500, id3=900 (kept, crosses), id4=1200 (dropped)
     assert(out == Set(1L, 2L, 3L))
   }
+
+  test("bitmapSemiJoin equals the broadcast left-semi join on dense keys, nulls never match") {
+    val fact = (Seq.tabulate(500)(i => (Option(i.toLong * 3 % 101), s"r$i")) :+
+      ((None: Option[Long]), "rnull")).toDF("k", "payload")
+    val keys = (Seq(2L, 5L, 17L, 100L) ++ Seq(2L, 5L)).toDF("kk") // dupes harmless
+    val viaBitmap = Relational.bitmapSemiJoin(fact, keys, "k", "kk")
+      .select("k", "payload").collect().map(_.toSeq).toSet
+    val viaJoin = fact.join(broadcast(keys), fact("k") === keys("kk"), "left_semi")
+      .select("k", "payload").collect().map(_.toSeq).toSet
+    assert(viaBitmap == viaJoin)
+    assert(viaBitmap.nonEmpty)
+    assert(!viaBitmap.exists(_.head == null), "null keys must never match")
+    // and the bitmap plan contains NO join operator — the probe is a
+    // scan-fused filter (the whole point of the operator). A parquet
+    // fact keeps Catalyst from constant-folding the LocalRelation.
+    val tmp = java.nio.file.Files.createTempDirectory("bsj").toString + "/fact"
+    fact.write.mode("overwrite").parquet(tmp)
+    val plan = Relational.bitmapSemiJoin(spark.read.parquet(tmp), keys, "k", "kk")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expected no join operator, got:\n$plan")
+    assert(plan.contains("bitmap_contains"))
+  }
+
+  test("bitmapSemiJoin falls back to the broadcast semi join on sparse key ranges") {
+    // two keys 2^62 apart: the bitset would span ~2^59 bytes — the
+    // operator must take the join path, not allocate
+    val fact = Seq((0L, "a"), (1L << 62, "b"), (42L, "c")).toDF("k", "p")
+    val keys = Seq(0L, 1L << 62).toDF("kk")
+    val out = Relational.bitmapSemiJoin(fact, keys, "k", "kk")
+    assert(out.select("p").as[String].collect().toSet == Set("a", "b"))
+    assert(out.queryExecution.executedPlan.toString.contains("Join"),
+      "sparse range must take the join fallback")
+  }
+
+  test("bitmapSemiJoin with an empty key side returns no rows") {
+    val fact = Seq((1L, "a")).toDF("k", "p")
+    val keys = Seq.empty[Long].toDF("kk")
+    assert(Relational.bitmapSemiJoin(fact, keys, "k", "kk").count() == 0L)
+  }
 }
