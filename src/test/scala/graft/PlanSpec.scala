@@ -33,6 +33,16 @@ class PlanSpec extends SparkSpec {
     assert(plan("j2_multiway").contains("BroadcastHashJoin"))
   }
 
+  test("j4 semi-join plans as a scan-fused bitmap probe — no join operator at all") {
+    // liveness pin for Relational.bitmapSemiJoin's fast path (the
+    // dense TPC-H orderkey space must NOT take the join fallback):
+    // the probe is a codegen filter on the lineitem scan, the fact is
+    // never shuffled, and the only exchange is the final count's
+    val p = plan("j4_semijoin")
+    assert(p.contains("bitmap_contains"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("global top-k plans as TakeOrderedAndProject, not full sort (w1)") {
     val p = plan("w1_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
