@@ -128,4 +128,26 @@ class ReadmeUsageSpec extends SparkSpec {
     val viaCount = flagged.agg(coalesce(sum(col("n_matches")), lit(0L))).as[Long].head()
     assert(viaCount == viaEnum)
   }
+
+  test("README example 6: existence checks at fact scale — bitmap semi-join") {
+    // --- README: bitmap semi-join ---
+    import graft.operators.Relational
+
+    val li = Tables.load(spark, dir, "lineitem")
+    val urgent = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val urgentLines = Relational.bitmapSemiJoin(li, urgent,
+      factKey = "l_orderkey", keyCol = "o_orderkey")
+    // equals li.join(broadcast(urgent), ..., "left_semi") — but the probe
+    // is a codegen filter fused into the fact scan (no join operator, no
+    // serial driver-side hash-relation build, range/8-byte broadcast).
+    // Sparse or non-integral key spaces: use the plain broadcast semi
+    // join; the operator falls back to it by itself past maxBitmapBytes
+    // --- end README ---
+    val viaJoin = li.join(broadcast(urgent),
+      li("l_orderkey") === urgent("o_orderkey"), "left_semi").count()
+    assert(urgentLines.count() == viaJoin)
+    assert(viaJoin > 0)
+  }
 }
