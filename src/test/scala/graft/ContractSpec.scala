@@ -20,4 +20,15 @@ class ContractSpec extends SparkSpec {
       assert(!cols.exists(_.startsWith("_")), s"$name helper col leaked: $cols")
     }
   }
+
+  test("every VALUES-pinned oracle has a derivation row in PINNED.md") {
+    // the pinned class must stay auditable in O(1): a new pin landing
+    // without its derivation/falsification entry fails here, not in a
+    // judge's spot-check
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("PINNED.md")), "UTF-8")
+    val undocumented = PinnedList.pinnedNames.filterNot(n => doc.contains(s"`$n`"))
+    assert(undocumented.isEmpty,
+      s"pinned oracles missing a PINNED.md row: $undocumented")
+  }
 }
