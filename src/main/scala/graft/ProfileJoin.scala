@@ -29,13 +29,22 @@ object ProfileJoin {
     * union of job intervals (jobs overlap when broadcast stages run
     * async), so `wallSec - jobUnionSec` is driver-only time; of that,
     * `bcastDriverSec` is the measured broadcast collect+build+transmit
-    * share. Residual = planning + AQE stage re-optimization + commit. */
+    * share. `constructSec` is DataFrame-CONSTRUCTION time — ~0 for
+    * lazy plans, but bitmapSemiJoin/denseLookupJoin collect their key
+    * side and build the broadcast structure eagerly at construction
+    * (r12 advisory: the old timer started after `mk`, so the bitmap
+    * collect+build was excluded from wall_s while its job still
+    * entered the job map, clamping driver_only_s to 0 and reporting
+    * a wall ~3× below the suite slot). wall_s now covers construction
+    * + execution, and construct_s makes the eager share explicit.
+    * Residual = planning + AQE stage re-optimization + commit. */
   final case class Attribution(wallSec: Double, jobSumSec: Double,
                                jobUnionSec: Double, bcastDriverSec: Double,
+                               constructSec: Double,
                                jobsJson: String, bcastJson: String) {
     def driverOnlySec: Double = math.max(0.0, wallSec - jobUnionSec)
     def json: String =
-      s"""{"wall_s":${"%.3f".format(wallSec)},"job_union_s":${"%.3f".format(jobUnionSec)},"driver_only_s":${"%.3f".format(driverOnlySec)},"bcast_driver_s":${"%.3f".format(bcastDriverSec)},"jobs_s":$jobsJson,"broadcasts":$bcastJson}"""
+      s"""{"wall_s":${"%.3f".format(wallSec)},"construct_s":${"%.3f".format(constructSec)},"job_union_s":${"%.3f".format(jobUnionSec)},"driver_only_s":${"%.3f".format(driverOnlySec)},"jobs_s":$jobsJson,"bcast_driver_s":${"%.3f".format(bcastDriverSec)},"broadcasts":$bcastJson}"""
   }
 
   def attribute(spark: org.apache.spark.sql.SparkSession)
@@ -48,8 +57,12 @@ object ProfileJoin {
         jobs.computeIfPresent(je.jobId, (_, v) => (v._1, je.time))
     }
     spark.sparkContext.addSparkListener(listener)
-    val df = mk
+    // timer starts BEFORE construction: eager operators (bitmap/dense
+    // lookup collects) do real work in `mk`, and their collect jobs
+    // land in the listener's map either way
     val t0 = System.nanoTime()
+    val df = mk
+    val tConstruct = (System.nanoTime() - t0) / 1e9
     // execute THIS QueryExecution (df.write would plan a fresh one and
     // the metrics below would read from a never-executed twin); the
     // noop-sink difference is one empty commit, sub-millisecond
@@ -101,7 +114,7 @@ object ProfileJoin {
     val bcastJson = bcasts.map { b =>
       s"""{"rows":${b.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)},"data_mb":${"%.1f".format(b.metrics.get("dataSize").map(_.value / 1e6).getOrElse(-1.0))},"collect_s":${"%.3f".format(m(b, "collectTime"))},"build_s":${"%.3f".format(m(b, "buildTime"))},"bcast_s":${"%.3f".format(m(b, "broadcastTime"))}}"""
     }.mkString("[", ",", "]")
-    Attribution(wall, jobSum, union, bcastDriver, jobsJson, bcastJson)
+    Attribution(wall, jobSum, union, bcastDriver, tConstruct, jobsJson, bcastJson)
   }
 
   /** SHUFFLE_HASH counterfactuals of the broadcast-join suite queries

@@ -75,10 +75,11 @@ object Sessions {
       // walls is FALSE — a6_pricing_summary min-of-3 is 0.96/1.04/0.96 s
       // across 32/64/96 and finer splits regress a9_longest_run
       // 0.47→0.69 s (per-task row-group open cost). Scan-bound walls
-      // here are parquet-decode-bound, so the default stays =cores;
+      // here are parquet-decode-bound, so the default stays =cores
+      // (the session's actual cpu count, not a literal — r12 advisory);
       // env override kept for re-measurement.
       .config("spark.sql.files.minPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_SPLITS", "32"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_SPLITS", cpus))
       // shuffle joins: build a hash table instead of sorting both
       // sides when one side is small enough (Spark still requires the
       // size asymmetry before it picks SHJ, and AQE can re-plan).

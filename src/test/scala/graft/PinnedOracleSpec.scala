@@ -10,12 +10,9 @@ class PinnedOracleSpec extends SparkSpec {
 
   // any oracle whose rows come from a VALUES list (with or without a
   // projection over it) — all must be plain ANSI SQL both engines parse.
-  // Real recomputation oracles can still carry a VALUES table as an
-  // auxiliary CTE input (SketchOracleSql's seed table) — those start
-  // with WITH and use DuckDB-only syntax, so they are excluded here.
-  private lazy val pinned: Map[String, String] =
-    SparkEntry.oracleSql.filter { case (_, sql) =>
-      sql.contains("FROM (VALUES") && !sql.startsWith("WITH") }
+  // The predicate lives in PinnedList (single source of truth) so this
+  // replay audits exactly the set the PINNED.md ContractSpec guards.
+  private lazy val pinned: Map[String, String] = PinnedList.pinnedOracles
 
   test("pinned VALUES oracles match their live queries") {
     assert(pinned.nonEmpty)

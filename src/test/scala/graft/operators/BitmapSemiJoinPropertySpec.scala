@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * broadcast left-semi join on RANDOMIZED key spaces — negative keys,
   * duplicate keys, null fact keys, keys straddling zero, and spans
   * chosen to exercise BOTH the bitset fast path and the sparse
-  * fallback (including the Long-overflow span guard). Seeded
+  * hash-set path (LongSetContains, including the Long-overflow span
+  * guard and the 0-key sentinel carried out-of-band). Seeded
   * generation keeps failures reproducible. */
 class BitmapSemiJoinPropertySpec extends SparkSpec {
   import spark.implicits._
@@ -37,9 +38,10 @@ class BitmapSemiJoinPropertySpec extends SparkSpec {
     }
   }
 
-  test("sparse key spaces force the fallback, including Long-overflow spans") {
-    // span > maxBitmapBytes*8 → fallback; mn<0 with mx near MaxValue
-    // makes (mx-mn) overflow Long — the BigInt guard must route these
+  test("sparse key spaces take the hash-set path, including Long-overflow spans") {
+    // span > maxBitmapBytes*8 → LongSetContains; mn<0 with mx near
+    // MaxValue makes (mx-mn) overflow Long — the BigInt guard must
+    // route these to the set, never allocate
     val cases = Seq(
       Seq(Long.MinValue + 10, Long.MaxValue - 10),
       Seq(-5L, Long.MaxValue - 3),
@@ -48,6 +50,19 @@ class BitmapSemiJoinPropertySpec extends SparkSpec {
       val factKeys = (keys.map(Some(_)) ++
         Seq.fill(50)(Some(rnd.nextLong())) :+ None).reverse
       check(factKeys, keys, s"sparse case $i")
+    }
+  }
+
+  test("random wide sparse key sets (hash-set path, many keys, 0 included)") {
+    (1 to 4).foreach { round =>
+      // full-width random longs → span always overflows the bitmap
+      // budget; 0L planted so the out-of-band zero sentinel is hit
+      val keys = (Seq.fill(200)(rnd.nextLong()) :+ 0L).distinct
+      val factKeys =
+        Seq.fill(400)(if (rnd.nextInt(10) == 0) None
+          else if (rnd.nextInt(3) == 0) Some(keys(rnd.nextInt(keys.length)))
+          else Some(rnd.nextLong())) :+ Some(0L)
+      check(factKeys, keys, s"wide sparse round $round")
     }
   }
 
