@@ -43,7 +43,29 @@ cold, n, errs, per_cold = run_suite()
 warm, _, _, per_warm = run_suite()
 per = {k: min(per_cold.get(k, float("inf")), per_warm.get(k, float("inf")))
        for k in set(per_cold) | set(per_warm)}
+
+# scan-throughput floor: the same bare 2-column aggregate scans the
+# Spark side times in its scan_floor block — one warm pass then
+# min-of-3, so the Spark/DuckDB decode-gap ratio lives in one artifact.
+scan_sql = {
+    "lineitem": "SELECT sum(l_extendedprice), avg(l_quantity), count(*) FROM lineitem",
+    "events": "SELECT count(ts), sum(value) FROM events",
+}
+scan = {}
+for name, q in scan_sql.items():
+    try:
+        con.execute(q).fetchall()  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            con.execute(q).fetchall()
+            best = min(best, time.time() - t0)
+        scan[name] = round(best, 3)
+    except Exception as e:
+        print(f"[oracle] scan_floor {name}: {e}", file=sys.stderr)
+
 print(json.dumps({"duckdb_wall_cold_sec": cold,
                   "duckdb_wall_warm_sec": min(cold, warm),
                   "queries_methodology": "per_query_min_of_2",
-                  "n_queries": n, "errors": errs, "queries": per}))
+                  "n_queries": n, "errors": errs,
+                  "scan_floor": scan, "queries": per}))

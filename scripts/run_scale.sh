@@ -32,7 +32,9 @@ run_point /root/testdata/sf0.1 /tmp/scale/bench_sf01.json
 idle_wait
 run_point /tmp/scale/x10      /tmp/scale/bench_x10.json
 idle_wait
-run_point /tmp/scale/x100     /tmp/scale/bench_x100.json
+# the x100 point also runs the cluster-shape rehearsal (suite re-run at
+# shuffle.partitions=200 — plan-degeneracy check at a realistic task count)
+SPARK_GRAFT_CLUSTER_PROBE=1 run_point /tmp/scale/x100 /tmp/scale/bench_x100.json
 
 python3 scripts/compose_scale.py BENCH_SCALE.json \
   "sf0.1 (17 MB, driver scale)=/tmp/scale/bench_sf01.json" \

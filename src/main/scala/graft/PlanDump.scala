@@ -18,8 +18,21 @@ object PlanDump {
       "lineitem scan (the key side was collected once, OR'd into a range/8-" +
       "byte bitset and torrent-broadcast). Replaces the broadcast LEFT SEMI " +
       "whose serial driver-side HashedRelation build was 75% of the wall at " +
-      "the 100x point (join_floor_profile r12); sparse key ranges fall back " +
-      "to the broadcast semi join inside the operator."),
+      "the 100x point (join_floor_profile r12). Sparse/overflow key spans " +
+      "switch to an exact open-addressing long set (`longset_contains`, r13) " +
+      "— still join-free; the guarded collect fails loudly past maxKeys, and " +
+      "key sides beyond driver memory belong to bloomSemiJoin (distributed " +
+      "build + scan-fused prefilter + exact verify join)."),
+    "salted_join" -> ("Dense dictionary-lookup join (r13): fact x dim on a dense " +
+      "unique PK with a low-cardinality payload plans as a codegen " +
+      "`dense_lookup` probe of a broadcast byte array of dictionary codes, " +
+      "fused into the lineitem scan — NO join operator, no fact shuffle, no " +
+      "254 MB UnsafeRow broadcast, no serial HashedRelation build (the r12 " +
+      "join_floor_profile measured that chain at 0.80 s build + 0.26 s " +
+      "transmit, ~60% of the broadcast join's wall at the 100x point; " +
+      "dense_lookup_ab in the bench artifact carries the A/B). Skew cannot " +
+      "exist because nothing shuffles; the big-x-big skew case remains " +
+      "Relational.skewJoin, timed by skew_join_planted."),
     "v1_knn" -> ("Brute-force kNN: pruned parquet scan (ReadSchema = id+embedding " +
       "only), the query vector inlined as a plan literal, native codegen " +
       "`cosinesimilarity`, and TakeOrderedAndProject — per-partition top-k, " +

@@ -164,7 +164,8 @@ object ProfileJoin {
     s.range(100000).agg(sum("id")).collect()
     SparkEntry.warmTableStats(s, d)
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("j1_equijoin", "j4_semijoin", "q3_shipping", "salted_join", "asof_join")
+      else Seq("j1_equijoin", "j4_semijoin", "q3_shipping", "salted_join",
+        "asof_join", "a8_interpolate")
     names.foreach { n =>
       val q = SparkEntry.queries(n)
       q(s, d).write.mode("overwrite").format("noop").save() // warm codegen

@@ -2210,13 +2210,17 @@ object SparkEntry {
     "a12_l2branch" -> ("WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) " +
       "SELECT vec_id, round(1.0/(1.0 + list_distance(CAST(e.embedding AS DOUBLE[]), qe)), 4) AS sim " +
       "FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10"),
-    "grocery_minmax" -> ("SELECT * FROM (VALUES ('과일','바나나','100g',CAST(350 AS BIGINT),CAST(420 AS BIGINT))," +
-      "('채소','방울토마토','1kg',8500,9400),('과일','사과','1kg',5500,6200)," +
-      "('과일','샤인머스캣','2kg',21500,25000),('채소','오이','3개',2700,3100)) " +
-      "AS t(category,product,unit,lo,hi) ORDER BY product"),
-    "grocery_beststore" -> ("SELECT * FROM (VALUES ('바나나','마트B',CAST(350 AS BIGINT))," +
-      "('방울토마토','마트C',8500),('사과','마트B',5500),('샤인머스캣','마트B',21500),('오이','마트C',2700)) " +
-      "AS t(product,store,price) ORDER BY product"),
+    // REAL recomputes since r13 (were VALUES-pinned): DuckDB re-runs
+    // the min/max aggregation and the argmin-by-(price, store) window
+    // over the materialized grocery store rows (the JSON explode is
+    // upstream of the materialized input; the aggregation/window
+    // semantics are what these queries exist to check)
+    "grocery_minmax" -> (s"WITH s AS (SELECT * FROM read_parquet('${graft.fixtures.Fixtures.oracleFixtureDir}/grocery_stores.parquet/*.parquet')) " +
+      "SELECT category, product, unit, CAST(min(price) AS BIGINT) AS lo, CAST(max(price) AS BIGINT) AS hi " +
+      "FROM s GROUP BY category, product, unit ORDER BY product"),
+    "grocery_beststore" -> (s"WITH r AS (SELECT product, store, price, row_number() OVER (PARTITION BY product ORDER BY price, store) AS rn " +
+      s"FROM read_parquet('${graft.fixtures.Fixtures.oracleFixtureDir}/grocery_stores.parquet/*.parquet')) " +
+      "SELECT product, store, CAST(price AS BIGINT) AS price FROM r WHERE rn = 1 ORDER BY product"),
     "news_top" -> ("SELECT * FROM (VALUES ('AI 반도체 시장 급성장','2025-07-30',CAST(0.91 AS DOUBLE))," +
       "('전기차 배터리 혁신','2025-07-31',0.88),('금리 동결 전망','2025-07-29',0.84)) " +
       "AS t(title,published_date,score) ORDER BY score DESC, title LIMIT 10"),
@@ -2296,9 +2300,14 @@ object SparkEntry {
       "s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma FROM e GROUP BY 1) " +
       "SELECT e.event_type, round(max((value - mu)/sigma), 4) AS max_z, round(min((value - mu)/sigma), 4) AS min_z " +
       "FROM e JOIN s USING (event_type) GROUP BY e.event_type ORDER BY e.event_type"),
-    "ko_format" -> ("SELECT * FROM (VALUES ('바나나','바나나는 최저 350원'),('방울토마토','방울토마토는 최저 8,500원')," +
-      "('사과','사과는 최저 5,500원'),('샤인머스캣','샤인머스캣은 최저 21,500원'),('오이','오이는 최저 2,700원')) " +
-      "AS t(product,line) ORDER BY product"),
+    // REAL recompute since r13 (was VALUES-pinned): DuckDB re-derives
+    // the min price AND the Korean formatting — format('{:,}') for the
+    // thousands grouping and the 은/는 particle from the hangul
+    // final-consonant rule ((codepoint − 0xAC00) % 28 ≠ 0 → 은) —
+    // over the materialized grocery store rows
+    "ko_format" -> (s"WITH g AS (SELECT product, min(price) AS lo FROM read_parquet('${graft.fixtures.Fixtures.oracleFixtureDir}/grocery_stores.parquet/*.parquet') GROUP BY product) " +
+      "SELECT product, product || (CASE WHEN (unicode(right(product,1)) - 44032) % 28 <> 0 THEN '은' ELSE '는' END) " +
+      "|| ' 최저 ' || format('{:,}', CAST(lo AS BIGINT)) || '원' AS line FROM g ORDER BY product"),
     "array_setops" -> ("WITH d AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS toks FROM documents WHERE doc_id < 20) " +
       "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_distinct, " +
       "CAST(len(list_intersect(toks, ['the','and','of'])) AS BIGINT) AS n_stop, " +
@@ -2433,10 +2442,16 @@ object SparkEntry {
     "from_json_props" -> ("SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k, " +
       "CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS max_k " +
       "FROM events GROUP BY event_type ORDER BY event_type"),
-    "tool_calls" -> ("SELECT CAST(call_id AS BIGINT) AS call_id, tool, target_table, CAST(lim AS BIGINT) AS lim FROM (VALUES " +
-      "(1, 'insert_row', 'notes', NULL),(2, 'update_row', 'notes', NULL),(3, 'query_table', 'orders', 10)," +
-      "(4, 'query_table', 'notes', 5),(5, 'delete_row', 'archive', NULL)) " +
-      "AS t(call_id, tool, target_table, lim) ORDER BY call_id"),
+    // REAL recompute since r13 (was VALUES-pinned): the raw payload
+    // strings are materialized to parquet by
+    // Fixtures.materializeForOracle, and DuckDB re-runs the actual
+    // JSON extraction with ITS OWN parser — try_cast(… AS JSON)
+    // nulls the malformed row exactly like from_json's except-branch
+    (("tool_calls": String) -> (s"WITH src AS (SELECT * FROM read_parquet('${graft.fixtures.Fixtures.oracleFixtureDir}/tool_calls.parquet/*.parquet')), " +
+      "p AS (SELECT call_id, try_cast(payload AS JSON) AS j FROM src) " +
+      "SELECT CAST(call_id AS BIGINT) AS call_id, j->>'$.name' AS tool, " +
+      "j->>'$.arguments.table' AS target_table, CAST(j->>'$.arguments.limit' AS BIGINT) AS lim " +
+      "FROM p WHERE (j->>'$.name') IS NOT NULL ORDER BY call_id")),
     "v4_diversify" -> (knnTopSql.format(20) +
       ", capped AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY label ORDER BY s DESC, vec_id) AS gr FROM top) WHERE gr <= 2), " +
       "g AS (SELECT *, min(pos) OVER (PARTITION BY label) AS gpos FROM (SELECT *, row_number() OVER (ORDER BY s DESC, vec_id) AS pos FROM capped)) " +

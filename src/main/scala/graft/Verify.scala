@@ -8,6 +8,9 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     new java.io.File(outDir).mkdirs()
+    // oracle-readable fixture inputs must exist before the driver's
+    // DuckDB pass replays oracle_sql.json (tool_calls / grocery family)
+    graft.fixtures.Fixtures.materializeForOracle(spark)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -133,6 +133,36 @@ object Fixtures {
     toolCallRows.toDF("call_id", "payload")
   }
 
+  /** Where [[materializeForOracle]] lands fixture tables for the
+    * DuckDB oracle. The RAW fixture inputs (not query outputs) are
+    * written as parquet so oracles that were VALUES-pinned only
+    * because DuckDB couldn't read their inputs become REAL
+    * recomputations (r12 judge stretch item #9): DuckDB re-runs the
+    * actual transformation — its own JSON extraction for tool_calls,
+    * its own aggregation/argmin/formatting + the 은/는 final-consonant
+    * rule for the grocery family — against the same bytes. */
+  val oracleFixtureDir = "/tmp/graft_oracle_fixtures"
+
+  /** Idempotent write-once of the oracle-readable fixture inputs.
+    * Called from Verify's main (before the dumps) and Bench's untimed
+    * warmup, so the files exist before either consumer's DuckDB run
+    * regardless of which runs first. Single files via coalesce(1);
+    * the oracle SQL reads them back with a part-file glob. */
+  def materializeForOracle(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def writeIfAbsent(name: String, mk: => DataFrame): Unit = {
+      val p = Paths.get(oracleFixtureDir, s"$name.parquet")
+      if (!Files.exists(p.resolve("_SUCCESS")))
+        mk.coalesce(1).write.mode("overwrite").parquet(p.toString)
+    }
+    writeIfAbsent("tool_calls", toolCalls(spark))
+    writeIfAbsent("grocery_stores",
+      grocery(spark).select(col("category"), col("product"), col("unit"),
+          explode(col("stores")).as("st"))
+        .select(col("category"), col("product"), col("unit"),
+          col("st.name").as("store"), col("st.price").as("price")))
+  }
+
   /** RSS feed XML fixture (S6 source shape, ref
     * news_service_rss.py:106-212: per-category feeds, HTML-tagged
     * descriptions, RFC-822 pubDates). */

@@ -142,12 +142,35 @@ class ReadmeUsageSpec extends SparkSpec {
     // equals li.join(broadcast(urgent), ..., "left_semi") — but the probe
     // is a codegen filter fused into the fact scan (no join operator, no
     // serial driver-side hash-relation build, range/8-byte broadcast).
-    // Sparse or non-integral key spaces: use the plain broadcast semi
-    // join; the operator falls back to it by itself past maxBitmapBytes
+    // Sparse/overflow key spans switch to an exact open-addressing long
+    // set (same join-free plan); the guarded collect fails loudly past
+    // maxKeys. Key sides beyond driver memory: bloomSemiJoin (below)
     // --- end README ---
     val viaJoin = li.join(broadcast(urgent),
       li("l_orderkey") === urgent("o_orderkey"), "left_semi").count()
     assert(urgentLines.count() == viaJoin)
     assert(viaJoin > 0)
+  }
+
+  test("README example 7: denseLookupJoin + bloomSemiJoin (dimension lookup family)") {
+    import graft.operators.Relational
+    // --- as printed in README.md (Library usage, example 7) ---
+    val lines = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+    val urgentDim = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val priced = Relational.denseLookupJoin(lines, urgentDim,
+      factKey = "l_orderkey", keyCol = "o_orderkey",
+      valueCol = "o_orderpriority")
+    val flagged = Relational.bloomSemiJoin(lines, urgentDim,
+      factKey = "l_orderkey", keyCol = "o_orderkey",
+      expectedKeys = 100000L, fpp = 0.01)
+    // --- end README ---
+    val viaJoin = lines.join(broadcast(urgentDim),
+      lines("l_orderkey") === urgentDim("o_orderkey"))
+    assert(priced.count() == viaJoin.count())
+    assert(flagged.count() == viaJoin.count()) // semi join: dim PK unique
+    assert(priced.count() > 0)
   }
 }
