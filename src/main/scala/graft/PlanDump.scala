@@ -15,14 +15,16 @@ object PlanDump {
   private val cases: Seq[(String, String)] = Seq(
     "j4_semijoin" -> ("Bitmap semi-join: NO join operator in the plan — the " +
       "existence probe is a codegen `bitmap_contains` filter fused into the " +
-      "lineitem scan (the key side was collected once, OR'd into a range/8-" +
-      "byte bitset and torrent-broadcast). Replaces the broadcast LEFT SEMI " +
-      "whose serial driver-side HashedRelation build was 75% of the wall at " +
-      "the 100x point (join_floor_profile r12). Sparse/overflow key spans " +
-      "switch to an exact open-addressing long set (`longset_contains`, r13) " +
-      "— still join-free; the guarded collect fails loudly past maxKeys, and " +
-      "key sides beyond driver memory belong to bloomSemiJoin (distributed " +
-      "build + scan-fused prefilter + exact verify join)."),
+      "lineitem scan. The bitset is built DISTRIBUTED (r13): per-partition " +
+      "OR into local long[] + treeReduce, so the driver never holds a key " +
+      "row — only the range/8-byte bitset it torrent-broadcasts. Replaces " +
+      "the broadcast LEFT SEMI whose serial driver-side HashedRelation " +
+      "build was 75% of the wall at the 100x point (join_floor_profile " +
+      "r12); the r12 eager driver collect (~0.85 s of j4's wall) is gone " +
+      "too. Sparse/overflow key spans switch to an exact open-addressing " +
+      "long set (`longset_contains`) — still join-free, count-guarded by " +
+      "maxKeys; beyond driver memory: bloomSemiJoin (distributed build + " +
+      "scan-fused prefilter + exact verify join)."),
     "salted_join" -> ("Dense dictionary-lookup join (r13): fact x dim on a dense " +
       "unique PK with a low-cardinality payload plans as a codegen " +
       "`dense_lookup` probe of a broadcast byte array of dictionary codes, " +
@@ -30,9 +32,11 @@ object PlanDump {
       "254 MB UnsafeRow broadcast, no serial HashedRelation build (the r12 " +
       "join_floor_profile measured that chain at 0.80 s build + 0.26 s " +
       "transmit, ~60% of the broadcast join's wall at the 100x point; " +
-      "dense_lookup_ab in the bench artifact carries the A/B). Skew cannot " +
-      "exist because nothing shuffles; the big-x-big skew case remains " +
-      "Relational.skewJoin, timed by skew_join_planted."),
+      "dense_lookup_ab in the bench artifact carries the A/B). The codes " +
+      "array is built DISTRIBUTED (per-partition fill + treeReduce — the " +
+      "driver only collects the <=127-value dictionary, never a dim row). " +
+      "Skew cannot exist because nothing shuffles; the big-x-big skew case " +
+      "remains Relational.skewJoin, timed by skew_join_planted."),
     "v1_knn" -> ("Brute-force kNN: pruned parquet scan (ReadSchema = id+embedding " +
       "only), the query vector inlined as a plan literal, native codegen " +
       "`cosinesimilarity`, and TakeOrderedAndProject — per-partition top-k, " +

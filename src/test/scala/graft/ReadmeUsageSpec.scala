@@ -141,10 +141,11 @@ class ReadmeUsageSpec extends SparkSpec {
       factKey = "l_orderkey", keyCol = "o_orderkey")
     // equals li.join(broadcast(urgent), ..., "left_semi") — but the probe
     // is a codegen filter fused into the fact scan (no join operator, no
-    // serial driver-side hash-relation build, range/8-byte broadcast).
-    // Sparse/overflow key spans switch to an exact open-addressing long
-    // set (same join-free plan); the guarded collect fails loudly past
-    // maxKeys. Key sides beyond driver memory: bloomSemiJoin (below)
+    // serial driver-side hash-relation build, range/8-byte broadcast),
+    // and the bitset is built DISTRIBUTED (per-partition OR + treeReduce:
+    // the driver never holds a key). Sparse/overflow key spans switch to
+    // an exact open-addressing long set (same join-free plan) under a
+    // loud maxKeys count guard; beyond that: bloomSemiJoin (below)
     // --- end README ---
     val viaJoin = li.join(broadcast(urgent),
       li("l_orderkey") === urgent("o_orderkey"), "left_semi").count()

@@ -201,18 +201,29 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("longset_contains"), s"expected the set probe, got:\n$plan")
   }
 
-  test("bitmapSemiJoin maxKeys guard fails loudly BEFORE materializing the collect") {
-    val fact = Seq((1L, "a")).toDF("k", "p")
-    val keys = spark.range(100).select(col("id").as("kk"))
+  test("bitmapSemiJoin sparse-path maxKeys guard fails loudly BEFORE any driver materialization") {
+    // the DENSE path builds distributed (no key-count contract at
+    // all); only the sparse hash-set path is broadcast-class. A wide
+    // key spacing (2^40 apart) forces the sparse path.
+    val fact = Seq((1L << 40, "a")).toDF("k", "p")
+    val sparseKeys = spark.range(100)
+      .select((col("id") * lit(1L << 40)).as("kk"))
     val e = intercept[IllegalArgumentException] {
-      Relational.bitmapSemiJoin(fact, keys, "k", "kk", maxKeys = 10)
+      Relational.bitmapSemiJoin(fact, sparseKeys, "k", "kk", maxKeys = 10)
     }
     assert(e.getMessage.contains("maxKeys=10"))
     assert(e.getMessage.contains("bloomSemiJoin"), "error must route the caller")
-    // at the boundary it still works
+    // at the boundary the sparse path still works
     val ok = Relational.bitmapSemiJoin(fact,
-      spark.range(10).select(col("id").as("kk")), "k", "kk", maxKeys = 10)
+      spark.range(10).select((col("id") * lit(1L << 40)).as("kk")),
+      "k", "kk", maxKeys = 10)
     assert(ok.select("p").as[String].collect().toSeq == Seq("a"))
+    // and a dense key side LARGER than maxKeys is fine — the bitset
+    // build never lands a key on the driver
+    val dense = Relational.bitmapSemiJoin(
+      Seq((7L, "x")).toDF("k", "p"),
+      spark.range(1000).select(col("id").as("kk")), "k", "kk", maxKeys = 10)
+    assert(dense.select("p").as[String].collect().toSeq == Seq("x"))
   }
 
   test("bloomSemiJoin equals the exact semi join; prefilter FP rate is bounded") {
