@@ -164,38 +164,46 @@ object Relational {
     * broadcast semi join's driver chain at the 100× bench point —
     * collect 0.14 s + SINGLE-THREADED 3 M-row HashedRelation build
     * 1.00 s + 254 MB transmit 0.26 s (`join_floor_profile`) — was
-    * 75% of `j4_semijoin`'s wall. Here the same parallel collect
-    * feeds a `long[]` bitset OR-built in ~15 ms, the broadcast is
-    * range/8 bytes (7.5 MB for a 60 M-key span), and the probe is a
-    * codegen filter FUSED INTO THE FACT SCAN — no join operator in
-    * the plan at all, the fact is never shuffled, and every scan
-    * pushdown/pruning survives untouched.
+    * 75% of `j4_semijoin`'s wall. Here the keys side feeds a `long[]`
+    * bitset OR-built distributed, the broadcast is range/8 bytes
+    * (7.5 MB for a 60 M-key span), and the probe is a codegen filter
+    * FUSED INTO THE FACT SCAN — no join operator in the plan at all,
+    * the fact is never shuffled, and every scan pushdown/pruning
+    * survives untouched.
     *
-    * Build is DISTRIBUTED on the dense path (r13): one (min, max,
-    * count) aggregate sizes the bitset, then each partition ORs its
-    * keys into a local `long[]` and a `treeReduce` merges them — the
-    * SAME shape as Spark's own `stat.bloomFilter` treeAggregate. The
-    * driver never materializes a single key row; it only ever holds
-    * the span/8-byte bitset, so the dense path has NO driver-fit
-    * contract on the key COUNT at all (the r12 eager driver collect +
-    * Row decode was measured at ~0.85 s of j4's 1.3 s wall at the
-    * x100 point — the fixed ProfileJoin timer exposed it; the
-    * distributed build deletes it).
+    * Build is ONE distributed pass (r14; the r13 build was a sizing
+    * aggregate plus a second fill pass — two jobs, two key-side
+    * scans): each partition grows a word-aligned local bitset anchored
+    * at its own key range (geometric regrow, so cost stays O(local
+    * span)), and the driver merges the ≤`buildPar` partials
+    * incrementally as tasks finish — word-aligned bases make every
+    * merge a pure word-offset OR, no bit shifting. The driver never
+    * materializes a single key row, so the dense path has NO driver-fit
+    * contract on the key COUNT at all. Single-pass also closes the r13
+    * advisory hazard: with two passes over a NON-DETERMINISTIC keys
+    * input (limit without order, sample, rand-derived keys) the fill
+    * could see keys outside the sizing pass's [min, max] and silently
+    * wrap the array index; here the stats and the structure come from
+    * the same rows by construction, so no disagreement is possible.
     *
-    * Sparse/overflow spans switch to an open-addressing long hash set
-    * ([[graft.plans.LongSetContains]], 16 bytes/key at ≤50% load) —
-    * still exact, still scan-fused, still NO join operator. That
-    * structure's SIZE is proportional to the key count, so the sparse
-    * path is broadcast-class and GUARDED: the count probe fails
-    * loudly past `maxKeys` (never an OOM — the count runs before any
-    * driver materialization); key sides beyond that belong to
-    * [[bloomSemiJoin]]. TPC-H-style surrogate keys are dense by
-    * construction; 64-bit hashed/sparse keys get the same join-free
-    * plan under the guard.
+    * Sparse/overflow spans degrade PER PARTITION to an exact key
+    * buffer, and the merged result becomes an open-addressing long
+    * hash set ([[graft.plans.LongSetContains]], 16 bytes/key at ≤50%
+    * load) — still exact, still scan-fused, still NO join operator.
+    * That structure's SIZE is proportional to the key count, so the
+    * sparse path is broadcast-class and GUARDED: the buffer caps at
+    * `maxKeys` and fails loudly (in the task or the merge, before the
+    * driver ever exceeds `maxKeys` longs); key sides beyond that
+    * belong to [[bloomSemiJoin]]. TPC-H-style surrogate keys are dense
+    * by construction; 64-bit hashed/sparse keys get the same join-free
+    * plan under the guard. A mixed merge (some partitions dense, some
+    * sparse) re-densifies whenever the combined span fits, so the
+    * global dense/sparse decision matches what the two-pass build
+    * computed from global min/max.
     *
     * EAGER-SNAPSHOT semantics (r12 advisory): the probe structure is
     * built at CONSTRUCTION time — building or explaining the returned
-    * plan runs the build jobs, and the returned DataFrame's key
+    * plan runs the build job, and the returned DataFrame's key
     * membership is a snapshot taken now (re-executions do NOT re-read
     * a changed keys input). Deliberate: the operator trades plan
     * laziness for deleting the broadcast hash join's serial driver
@@ -207,59 +215,204 @@ object Relational {
                      maxBitmapBytes: Long = 64L << 20,
                      maxKeys: Int = 32 << 20): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
+    // r13-advisory overflow guards: the word array must stay Int-indexable
+    // and the hash-set capacity (next pow2 ≥ 2·keys) must fit an Int
+    require(maxBitmapBytes >= 8 && maxBitmapBytes <= (1L << 33),
+      s"bitmapSemiJoin: maxBitmapBytes=$maxBitmapBytes out of [8, 8 GiB]")
+    require(maxKeys >= 1 && maxKeys <= (1 << 29),
+      s"bitmapSemiJoin: maxKeys=$maxKeys out of [1, 2^29]")
     val spark = fact.sparkSession
     val keyDf = keys.select(col(keyCol).cast("long").as("k"))
       .where(col("k").isNotNull)
-    // one parallel aggregate sizes everything BEFORE any driver
-    // materialization: a misused corpus-sized keys side surfaces as
-    // the sparse-path require below, never as a driver OOM
-    val st = keyDf.agg(count(lit(1)), min("k"), max("k")).head()
-    val n = st.getLong(0)
-    if (n == 0L) return fact.where(lit(false))
-    val mn = st.getLong(1); val mx = st.getLong(2)
-    // range arithmetic in BigInt: mx-mn can overflow Long for
-    // adversarial key spaces, which MUST take the hash-set path
-    val spanBits = BigInt(mx) - BigInt(mn) + 1
-    if (spanBits > BigInt(maxBitmapBytes) * 8) {
-      require(n <= maxKeys,
-        s"bitmapSemiJoin: sparse key side has $n rows > maxKeys=$maxKeys — " +
-          "the hash-set probe is broadcast-class (16 bytes/key); for key " +
-          "sides beyond driver memory use bloomSemiJoin (distributed " +
-          "build) or a plain shuffle semi join")
-      val keyArr = keyDf
-        .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
-      val (table, hasZero) = buildLongSet(keyArr)
-      val bc = spark.sparkContext.broadcast(table)
-      fact.where(ColumnBridge.column(graft.plans.LongSetContains(
-        ColumnBridge.expression(fact(factKey).cast("long")), bc, hasZero)))
-    } else {
-      val nWords = ((spanBits.toLong + 63) >>> 6).toInt
-      val minVal = mn
-      // distributed OR-build: per-partition local bitsets, tree-merged;
-      // empty partitions emit nothing (n > 0 guarantees one survivor).
-      // Coalesce bounds the merge traffic to 8x the bitset size — the
-      // OR fill is memory-bandwidth work 8 tasks already saturate
-      val keyRdd = keyDf.as[Long](org.apache.spark.sql.Encoders.scalaLong).rdd
-      val buildPar = math.max(1, math.min(8, keyRdd.getNumPartitions))
-      val words = keyRdd.coalesce(buildPar).mapPartitions { it =>
-          if (it.isEmpty) Iterator.empty
-          else {
-            val arr = new Array[Long](nWords)
-            it.foreach { k =>
-              val idx = k - minVal
-              arr((idx >>> 6).toInt) |= 1L << (idx & 63)
-            }
-            Iterator.single(arr)
-          }
-        }.reduce { (a, b) =>
-          // driver-side incremental OR of ≤buildPar partial bitsets —
-          // one job, results streamed in as tasks finish
-          var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a
-        }
-      val bc = spark.sparkContext.broadcast(words)
-      fact.where(ColumnBridge.column(graft.plans.BitmapContains(
-        ColumnBridge.expression(fact(factKey).cast("long")), bc, mn)))
+    // ONE distributed job: per-partition partial structures, driver
+    // merges ≤buildPar partials incrementally as tasks finish. Coalesce
+    // bounds the merge traffic to buildPar × structure size — the fill
+    // is memory-bandwidth work 8 tasks already saturate locally.
+    val keyRdd = keyDf.as[Long](org.apache.spark.sql.Encoders.scalaLong).rdd
+    val buildPar = math.max(1, math.min(8, keyRdd.getNumPartitions))
+    val mbb = maxBitmapBytes; val mk = maxKeys
+    val merged = keyRdd.coalesce(buildPar)
+      .mapPartitions(it => buildKeyPartial(it, mbb, mk)
+        .map(p => Option(p)))
+      .fold(Option.empty[KeyPartial]) {
+        case (Some(a), Some(b)) => Some(mergeKeyPartials(a, b, mbb, mk))
+        case (a, b) => a.orElse(b)
+      }
+    merged match {
+      case None => fact.where(lit(false))
+      case Some(BitsPartial(_, mn, mx, base, words)) =>
+        // trim leading/trailing regrow slack before broadcasting
+        val tb = floorAlign64(mn)
+        val lo = ((tb - base) >>> 6).toInt
+        val hi = (((mx - tb) >>> 6) + 1).toInt
+        val trimmed =
+          if (lo == 0 && words.length == hi) words
+          else java.util.Arrays.copyOfRange(words, lo, lo + hi)
+        val bc = spark.sparkContext.broadcast(trimmed)
+        fact.where(ColumnBridge.column(graft.plans.BitmapContains(
+          ColumnBridge.expression(fact(factKey).cast("long")), bc, tb)))
+      case Some(KeysPartial(_, _, _, keyArr)) =>
+        val (table, hasZero) = buildLongSet(keyArr)
+        val bc = spark.sparkContext.broadcast(table)
+        fact.where(ColumnBridge.column(graft.plans.LongSetContains(
+          ColumnBridge.expression(fact(factKey).cast("long")), bc, hasZero)))
     }
+  }
+
+  // ---- single-pass build machinery (r14) ----------------------------
+
+  private def floorAlign64(k: Long): Long = k & ~63L
+
+  /** Partial build state shipped task → driver: either a word-aligned
+    * local bitset (dense) or an exact key buffer (sparse). `base` is a
+    * multiple of 64, bit `k - base` represents key `k`. */
+  private sealed trait KeyPartial extends Serializable {
+    def count: Long; def mn: Long; def mx: Long
+  }
+  private final case class BitsPartial(count: Long, mn: Long, mx: Long,
+      base: Long, words: Array[Long]) extends KeyPartial
+  private final case class KeysPartial(count: Long, mn: Long, mx: Long,
+      keys: Array[Long]) extends KeyPartial
+
+  private def sparseGuardError(maxKeys: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"bitmapSemiJoin: sparse key side exceeds maxKeys=$maxKeys — " +
+        "the hash-set probe is broadcast-class (16 bytes/key); for key " +
+        "sides beyond driver memory use bloomSemiJoin (distributed " +
+        "build) or a plain shuffle semi join")
+
+  /** One-pass per-partition builder: starts dense (bitset anchored at
+    * the first key's aligned base, geometric regrow), degrades to an
+    * exact sparse key buffer the moment the LOCAL span exceeds
+    * `maxBitmapBytes` — capped at `maxKeys` entries with a loud
+    * failure, so a task never buffers more than the broadcast-class
+    * contract allows. */
+  private def buildKeyPartial(it: Iterator[Long], maxBitmapBytes: Long,
+                              maxKeys: Int): Iterator[KeyPartial] = {
+    if (!it.hasNext) return Iterator.empty
+    val maxWords = (maxBitmapBytes >>> 3).toInt
+    var count = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+    var dense = true
+    var base = 0L
+    var words: Array[Long] = null
+    var sk: Array[Long] = null; var skN = 0
+    def addSparse(k: Long): Unit = {
+      if (skN >= maxKeys) sparseGuardError(maxKeys)
+      if (skN == sk.length) sk = java.util.Arrays.copyOf(sk,
+        math.min(maxKeys, math.max(16, sk.length * 2)))
+      sk(skN) = k; skN += 1
+    }
+    def toSparse(): Unit = {
+      // dense → sparse: the set bits ARE the (deduped) local keys
+      sk = new Array[Long](math.min(maxKeys,
+        math.max(16, words.map(java.lang.Long.bitCount).sum)))
+      var wi = 0
+      while (wi < words.length) {
+        var w = words(wi)
+        while (w != 0L) {
+          addSparse(base + wi * 64L + java.lang.Long.numberOfTrailingZeros(w))
+          w &= w - 1
+        }
+        wi += 1
+      }
+      words = null; dense = false
+    }
+    while (it.hasNext) {
+      val k = it.next()
+      count += 1
+      if (k < mn) mn = k
+      if (k > mx) mx = k
+      if (dense) {
+        if (words == null) {
+          base = floorAlign64(k)
+          words = new Array[Long](math.min(maxWords, 1024))
+        }
+        val idx = k - base // wraps NEGATIVE on overflow → grow path
+        if (idx >= 0 && (idx >>> 6) < words.length)
+          words((idx >>> 6).toInt) |= 1L << (idx & 63)
+        else {
+          val newBase = floorAlign64(math.min(k, base))
+          val reqWordsB = ((BigInt(mx) - BigInt(newBase)) >> 6) + 1
+          if (reqWordsB > maxWords) { toSparse(); addSparse(k) }
+          else {
+            val reqWords = reqWordsB.toInt
+            val allocLen = math.min(maxWords.toLong,
+              math.max(reqWords.toLong, words.length.toLong * 2)).toInt
+            val na = new Array[Long](allocLen)
+            val off = ((base - newBase) >>> 6).toInt
+            System.arraycopy(words, 0, na, off,
+              math.min(words.length, allocLen - off))
+            base = newBase; words = na
+            val i2 = k - base
+            words((i2 >>> 6).toInt) |= 1L << (i2 & 63)
+          }
+        }
+      } else addSparse(k)
+    }
+    val p: KeyPartial =
+      if (dense) BitsPartial(count, mn, mx, base, words)
+      else KeysPartial(count, mn, mx, java.util.Arrays.copyOf(sk, skN))
+    Iterator.single(p)
+  }
+
+  /** Driver-side incremental merge (runs inside `fold` as task results
+    * stream in, ≤buildPar live partials, bounded transient footprint).
+    * Re-densifies whenever the COMBINED span fits, so the final
+    * dense/sparse choice equals the global-min/max decision. */
+  private def mergeKeyPartials(a: KeyPartial, b: KeyPartial,
+      maxBitmapBytes: Long, maxKeys: Int): KeyPartial = {
+    val cmn = math.min(a.mn, b.mn); val cmx = math.max(a.mx, b.mx)
+    val cnt = a.count + b.count
+    val newBase = floorAlign64(cmn)
+    val maxWords = (maxBitmapBytes >>> 3).toInt
+    val reqWordsB = ((BigInt(cmx) - BigInt(newBase)) >> 6) + 1
+    if (reqWordsB <= maxWords) {
+      val reqWords = reqWordsB.toInt
+      val (rb, rw) = a match {
+        case BitsPartial(_, _, _, ab, aw)
+            if ab <= newBase && ((BigInt(cmx) - BigInt(ab)) >> 6) < aw.length =>
+          (ab, aw) // a's array already covers the union — OR b in place
+        case _ =>
+          val na = new Array[Long](reqWords)
+          blitInto(a, newBase, na); (newBase, na)
+      }
+      blitInto(b, rb, rw)
+      BitsPartial(cnt, cmn, cmx, rb, rw)
+    } else {
+      val ka = partialKeys(a); val kb = partialKeys(b)
+      if (ka.length.toLong + kb.length > maxKeys) sparseGuardError(maxKeys)
+      KeysPartial(cnt, cmn, cmx, ka ++ kb)
+    }
+  }
+
+  private def blitInto(p: KeyPartial, base: Long, target: Array[Long]): Unit =
+    p match {
+      case BitsPartial(_, _, _, pb, pw) =>
+        val off = ((pb - base) >>> 6).toInt
+        val lim = math.min(pw.length, target.length - off)
+        var i = 0
+        while (i < lim) { target(off + i) |= pw(i); i += 1 }
+      case KeysPartial(_, _, _, keys) =>
+        keys.foreach { k =>
+          val idx = k - base
+          target((idx >>> 6).toInt) |= 1L << (idx & 63)
+        }
+    }
+
+  private def partialKeys(p: KeyPartial): Array[Long] = p match {
+    case KeysPartial(_, _, _, keys) => keys
+    case BitsPartial(_, _, _, base, words) =>
+      val out = new Array[Long](words.map(java.lang.Long.bitCount).sum)
+      var n = 0; var wi = 0
+      while (wi < words.length) {
+        var w = words(wi)
+        while (w != 0L) {
+          out(n) = base + wi * 64L + java.lang.Long.numberOfTrailingZeros(w)
+          n += 1; w &= w - 1
+        }
+        wi += 1
+      }
+      out
   }
 
   /** Power-of-two open-addressing long hash set (linear probing, 0 as
@@ -268,9 +421,16 @@ object Relational {
     * 3 M keys vs the ~1.0 s serial UnsafeRow HashedRelation build the
     * broadcast semi join pays for the same keys. */
   private def buildLongSet(keys: Array[Long]): (Array[Long], Boolean) = {
-    var cap = 8
-    while (cap < keys.length * 2 && cap > 0) cap <<= 1
-    require(cap > 0, s"bitmapSemiJoin: ${keys.length} keys overflow the hash-set capacity")
+    // Long arithmetic for the capacity (r13 advisory): Int `keys.length
+    // * 2` overflows past 2^30 keys, leaving cap=8 and an infinite
+    // probe loop. maxKeys is require-capped at 2^29, so this always
+    // fits, but compute defensively anyway.
+    var capL = 8L
+    while (capL < keys.length.toLong * 2) capL <<= 1
+    require(capL <= (1L << 30),
+      s"bitmapSemiJoin: ${keys.length} keys need a $capL-slot hash set — " +
+        "beyond the broadcastable range; use bloomSemiJoin")
+    val cap = capL.toInt
     val mask = cap - 1
     val table = new Array[Long](cap)
     var hasZero = false
@@ -358,24 +518,38 @@ object Relational {
     * fact shuffle, every pushdown survives.
     *
     * Same EAGER-SNAPSHOT semantics as [[bitmapSemiJoin]], and — like
-    * its dense path — the build is DISTRIBUTED (r13): one aggregate
-    * computes (count, distinct keys, distinct values, min, max) for
-    * the contract checks, the ≤127-value dictionary is the only
-    * driver collect, and the codes array is built per-partition and
-    * tree-merged — the driver never holds a dim row, so there is NO
-    * key-count driver contract (the span check alone bounds the
-    * array). The r12 driver collect of 3 M (long, string) Rows was
-    * ~1.2-1.7 s of salted_join's wall at the x100 point (fixed
-    * ProfileJoin timer); the distributed build deletes it. Falls back
-    * to the plain broadcast join when the key span exceeds
+    * its dense path — the build is ONE distributed pass (r14; the r13
+    * build was a sizing aggregate + a distinct() dictionary job + a
+    * fill pass — three jobs, three dim-side scans): each partition
+    * grows a local codes array anchored at its own key range and
+    * builds its own insertion-order dictionary; the driver merges the
+    * ≤`buildPar` partials incrementally, remapping each partial's
+    * dictionary codes into the accumulated dictionary. The driver
+    * never holds a dim row, so there is NO key-count driver contract
+    * (the span check alone bounds the array), and — single pass — the
+    * r13-advisory two-pass hazard (a non-deterministic dim disagreeing
+    * with its own sizing stats and wrapping an index) is structurally
+    * impossible. Value codes are compared with plain JVM equality on
+    * BOTH the build and probe side of the dictionary (one HashMap),
+    * which also closes the r13 advisory about `distinct()`-normalized
+    * values (-0.0 vs 0.0) missing the executor-side lookup map.
+    *
+    * Falls back to the plain broadcast join when the key span exceeds
     * `maxCodesBytes` or the payload cardinality exceeds 127 (byte
-    * codes; a dict that size stopped being "low-cardinality" anyway).
-    * Duplicate dim keys are rejected loudly — a dense array cannot
-    * express row multiplication. */
+    * codes; a dict that size stopped being "low-cardinality" anyway) —
+    * detected IN the single pass, which short-circuits to a cheap
+    * drain, so a disqualified dim costs one aborted scan, not the
+    * r13 sizing-agg + distinct jobs. Duplicate dim keys are rejected
+    * loudly (tracked as an Option, not an in-band sentinel — the r13
+    * `Long.MinValue` sentinel collided with a legitimate key value) —
+    * a dense array cannot express row multiplication. */
   def denseLookupJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                       keyCol: String, valueCol: String,
                       maxCodesBytes: Long = 96L << 20): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
+    // r13-advisory guard: the codes array must stay Int-indexable
+    require(maxCodesBytes >= 1 && maxCodesBytes <= Int.MaxValue,
+      s"denseLookupJoin: maxCodesBytes=$maxCodesBytes out of [1, Int.MaxValue]")
     val spark = fact.sparkSession
     def fallback = fact.join(
       broadcast(dim.select(col(keyCol).cast("long").as("_dlj_key"),
@@ -383,78 +557,178 @@ object Relational {
       fact(factKey).cast("long") === col("_dlj_key")).drop("_dlj_key")
     val dimDf = dim.select(col(keyCol).cast("long").as("k"),
       col(valueCol).as("v")).where(col("k").isNotNull)
-    // cheap sizing agg only — NO count_distinct here: multi-distinct
-    // aggregates plan an Expand (x-per-distinct row blow-up, measured
-    // 1.7 s of pure overhead on the 3 M-row dim at the x100 point);
-    // duplicate keys are instead detected inside the build merge below
-    // for free, and dict cardinality by the limit(128) take
-    val st = dimDf.agg(count(lit(1)), min("k"), max("k")).head()
-    val n = st.getLong(0)
-    if (n == 0L)
-      return fact.where(lit(false))
-        .withColumn(valueCol, lit(null).cast(dim.schema(valueCol).dataType))
-    val mn = st.getLong(1); val mx = st.getLong(2)
-    val span = BigInt(mx) - BigInt(mn) + 1
-    // dictionary probe: TakeOrdered of the distinct values, capped at
-    // 128 — a 128th value means >127 and the contract says fall back
-    val dictRows = dimDf.select("v").distinct().orderBy("v").limit(128)
-      .collect().map(_.get(0))
-    if (span > BigInt(maxCodesBytes) || dictRows.length > 127) fallback
-    else {
-      val dict = dictRows
-      val codeOf: Map[Any, Byte] =
-        dict.zipWithIndex.map { case (v, i) => v -> i.toByte }.toMap
-      val spanInt = span.toInt
-      val minVal = mn
-      val noDup = Long.MinValue
-      // distributed fill + tree merge. Coalesce bounds the merge
-      // traffic: P partitions each ship a span-byte array, so P=8
-      // keeps the movement at 8x span instead of (scan splits)x span
-      // — at 32 splits on a 60 MB span that was 1.9 GB of array
-      // shuffle for a 3 M-row dim (measured; the fill itself is
-      // memory-bandwidth work that 8 tasks saturate locally).
-      val buildPar = math.max(1, math.min(8, dimDf.rdd.getNumPartitions))
-      val (codes, dupKey) = dimDf.rdd.coalesce(buildPar).mapPartitions { it =>
-        if (it.isEmpty) Iterator.empty
-        else {
-          val arr = new Array[Byte](spanInt)
-          java.util.Arrays.fill(arr, (-1).toByte)
-          var dup = noDup
-          it.foreach { r =>
-            val k = r.getLong(0)
-            val idx = (k - minVal).toInt
-            if (arr(idx) != -1 && dup == noDup) dup = k
-            arr(idx) = codeOf(r.get(1))
-          }
-          Iterator.single((arr, dup))
-        }
-      }.reduce { case ((a, da), (b, db)) =>
-        // driver-side incremental merge of ≤buildPar partial arrays
-        // (transient driver footprint bounded by buildPar x span)
-        var dup = if (da != noDup) da else db
-        var i = 0
-        while (i < a.length) {
-          if (b(i) != -1) {
-            if (a(i) != -1 && dup == noDup) dup = i + minVal
-            a(i) = b(i)
-          }
-          i += 1
-        }
-        (a, dup)
+    // ONE distributed job. Coalesce bounds the merge traffic: P
+    // partitions each ship a ≤span-byte array, so P=8 keeps the
+    // movement at 8x span instead of (scan splits)x span — at 32
+    // splits on a 60 MB span that was 1.9 GB of array shuffle for a
+    // 3 M-row dim (measured; the fill itself is memory-bandwidth work
+    // that 8 tasks saturate locally).
+    val mcb = maxCodesBytes
+    val buildPar = math.max(1, math.min(8, dimDf.rdd.getNumPartitions))
+    val merged = dimDf.rdd.coalesce(buildPar)
+      .mapPartitions(it => buildCodesPartial(it, mcb).map(p => Option(p)))
+      .fold(Option.empty[CodesPartial]) {
+        case (Some(a), Some(b)) => Some(mergeCodesPartials(a, b, mcb))
+        case (a, b) => a.orElse(b)
       }
-      if (dupKey != noDup)
+    merged match {
+      case None =>
+        fact.where(lit(false))
+          .withColumn(valueCol, lit(null).cast(dim.schema(valueCol).dataType))
+      case Some(p) if p.overflow => fallback
+      case Some(p) if p.dup.isDefined =>
         throw new IllegalArgumentException(
-          s"requirement failed: denseLookupJoin: duplicate dim key $dupKey — " +
+          s"requirement failed: denseLookupJoin: duplicate dim key ${p.dup.get} — " +
             "a dense lookup cannot express row multiplication; dedupe the " +
             "dim or use a plain join")
-      val bc = spark.sparkContext.broadcast(codes)
-      val codeCol = ColumnBridge.column(graft.plans.DenseByteLookup(
-        ColumnBridge.expression(fact(factKey).cast("long")), bc, mn))
-      fact.withColumn("_dlj_code", codeCol)
-        .where(col("_dlj_code") >= 0)
-        .withColumn(valueCol,
-          element_at(array(dict.map(lit(_)).toSeq: _*), col("_dlj_code") + 1))
-        .drop("_dlj_code")
+      case Some(p) =>
+        // trim regrow slack to the exact [mn, mx] span before broadcast
+        val len = (p.mx - p.mn + 1).toInt
+        val off = (p.mn - p.base).toInt
+        val codes =
+          if (off == 0 && p.codes.length == len) p.codes
+          else java.util.Arrays.copyOfRange(p.codes, off, off + len)
+        val bc = spark.sparkContext.broadcast(codes)
+        val codeCol = ColumnBridge.column(graft.plans.DenseByteLookup(
+          ColumnBridge.expression(fact(factKey).cast("long")), bc, p.mn))
+        fact.withColumn("_dlj_code", codeCol)
+          .where(col("_dlj_code") >= 0)
+          .withColumn(valueCol,
+            element_at(array(p.dict.map(lit(_)).toSeq: _*), col("_dlj_code") + 1))
+          .drop("_dlj_code")
     }
+  }
+
+  /** Partial build state for [[denseLookupJoin]]: a local codes array
+    * anchored at `base` (code `codes(k - base)`, −1 = absent), the
+    * partition's insertion-order dictionary the codes index into, the
+    * first duplicate key seen (if any), and an `overflow` flag meaning
+    * "out of contract — take the broadcast-join fallback" (span >
+    * maxCodesBytes or >127 distinct payload values). */
+  private final case class CodesPartial(count: Long, mn: Long, mx: Long,
+      base: Long, codes: Array[Byte], dict: Array[Any],
+      dup: Option[Long], overflow: Boolean)
+
+  private val codesOverflow =
+    CodesPartial(0L, 0L, 0L, 0L, null, null, None, overflow = true)
+
+  private def buildCodesPartial(it: Iterator[org.apache.spark.sql.Row],
+                                maxCodesBytes: Long): Iterator[CodesPartial] = {
+    if (!it.hasNext) return Iterator.empty
+    val maxLen = maxCodesBytes.toInt
+    var count = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+    var base = 0L
+    var codes: Array[Byte] = null
+    val dict = new scala.collection.mutable.ArrayBuffer[Any]
+    val codeOf = new java.util.HashMap[Any, Integer]
+    var dup: Option[Long] = None
+    var overflow = false
+    while (it.hasNext && !overflow) {
+      val r = it.next()
+      val k = r.getLong(0); val v = r.get(1)
+      count += 1
+      if (k < mn) mn = k
+      if (k > mx) mx = k
+      var c = codeOf.get(v)
+      if (c == null) {
+        if (dict.length >= 127) overflow = true
+        else { c = Integer.valueOf(dict.length); dict += v; codeOf.put(v, c) }
+      }
+      if (!overflow) {
+        if (codes == null) {
+          base = k
+          codes = new Array[Byte](math.min(maxLen, 4096))
+          java.util.Arrays.fill(codes, (-1).toByte)
+        }
+        var idx = k - base // wraps NEGATIVE on overflow → grow path
+        if (idx < 0 || idx >= codes.length) {
+          val newBase = math.min(k, base)
+          val spanB = BigInt(mx) - BigInt(newBase) + 1
+          if (spanB > maxLen) overflow = true
+          else {
+            val req = spanB.toInt
+            val allocLen = math.min(maxLen.toLong,
+              math.max(req.toLong, codes.length.toLong * 2)).toInt
+            val na = new Array[Byte](allocLen)
+            java.util.Arrays.fill(na, (-1).toByte)
+            val o = (base - newBase).toInt
+            System.arraycopy(codes, 0, na, o,
+              math.min(codes.length, allocLen - o))
+            base = newBase; codes = na
+            idx = k - base
+          }
+        }
+        if (!overflow) {
+          val i = idx.toInt
+          if (codes(i) != -1 && dup.isEmpty) dup = Some(k)
+          codes(i) = c.byteValue()
+        }
+      }
+    }
+    val p = if (overflow) codesOverflow
+            else CodesPartial(count, mn, mx, base, codes, dict.toArray, dup,
+              overflow = false)
+    Iterator.single(p)
+  }
+
+  /** Driver-side incremental merge for [[denseLookupJoin]] partials:
+    * remaps `b`'s dictionary codes into `a`'s dictionary (extending it,
+    * overflow past 127), overlays `b`'s codes at the combined base, and
+    * detects cross-partition duplicate keys. */
+  private def mergeCodesPartials(a: CodesPartial, b: CodesPartial,
+                                 maxCodesBytes: Long): CodesPartial = {
+    if (a.overflow) return a
+    if (b.overflow) return b
+    val cmn = math.min(a.mn, b.mn); val cmx = math.max(a.mx, b.mx)
+    val spanB = BigInt(cmx) - BigInt(cmn) + 1
+    if (spanB > maxCodesBytes) return codesOverflow
+    val len = spanB.toInt
+    // dictionary union: a's codes stay, b's values remap
+    val dict = scala.collection.mutable.ArrayBuffer[Any](
+      a.dict.toIndexedSeq: _*)
+    val idxOf = new java.util.HashMap[Any, Integer]
+    var ai = 0
+    while (ai < a.dict.length) {
+      idxOf.put(a.dict(ai), Integer.valueOf(ai)); ai += 1
+    }
+    val remap = new Array[Byte](b.dict.length)
+    var bi = 0
+    while (bi < b.dict.length) {
+      val v = b.dict(bi)
+      var c = idxOf.get(v)
+      if (c == null) {
+        if (dict.length >= 127) return codesOverflow
+        c = Integer.valueOf(dict.length); dict += v; idxOf.put(v, c)
+      }
+      remap(bi) = c.byteValue()
+      bi += 1
+    }
+    // target: reuse a's array when it already covers the union span
+    val (tBase, target) =
+      if (a.base <= cmn &&
+          BigInt(cmx) - BigInt(a.base) < a.codes.length) (a.base, a.codes)
+      else {
+        val na = new Array[Byte](len)
+        java.util.Arrays.fill(na, (-1).toByte)
+        val o = (a.base - cmn).toInt
+        System.arraycopy(a.codes, 0, na, o,
+          math.min(a.codes.length, len - o))
+        (cmn, na)
+      }
+    var dup = a.dup.orElse(b.dup)
+    val bOff = (b.base - tBase).toInt
+    val bLim = math.min(b.codes.length, target.length - bOff)
+    var i = 0
+    while (i < bLim) {
+      val c = b.codes(i)
+      if (c != -1) {
+        val gi = bOff + i
+        if (target(gi) != -1 && dup.isEmpty) dup = Some(b.base + i)
+        target(gi) = remap(c)
+      }
+      i += 1
+    }
+    CodesPartial(a.count + b.count, cmn, cmx, tBase, target,
+      dict.toArray, dup, overflow = false)
   }
 }

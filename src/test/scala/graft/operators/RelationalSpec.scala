@@ -204,15 +204,20 @@ class RelationalSpec extends SparkSpec {
   test("bitmapSemiJoin sparse-path maxKeys guard fails loudly BEFORE any driver materialization") {
     // the DENSE path builds distributed (no key-count contract at
     // all); only the sparse hash-set path is broadcast-class. A wide
-    // key spacing (2^40 apart) forces the sparse path.
+    // key spacing (2^40 apart) forces the sparse path. Since the r14
+    // single-pass build, the guard can trip in the TASK (a partition's
+    // key buffer caps at maxKeys — even earlier than the r13 driver
+    // count-probe) or in the driver merge, so unwrap the cause chain.
     val fact = Seq((1L << 40, "a")).toDF("k", "p")
     val sparseKeys = spark.range(100)
       .select((col("id") * lit(1L << 40)).as("kk"))
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
       Relational.bitmapSemiJoin(fact, sparseKeys, "k", "kk", maxKeys = 10)
     }
-    assert(e.getMessage.contains("maxKeys=10"))
-    assert(e.getMessage.contains("bloomSemiJoin"), "error must route the caller")
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msg.contains("maxKeys=10"))
+    assert(msg.contains("bloomSemiJoin"), "error must route the caller")
     // at the boundary the sparse path still works
     val ok = Relational.bitmapSemiJoin(fact,
       spark.range(10).select((col("id") * lit(1L << 40)).as("kk")),
