@@ -402,9 +402,20 @@ object SparkEntry {
   /** §2.3 joins (J1–J4) incl. the generated date-spine join. */
   private val joins: Map[String, Q] = Map(
     "j1_equijoin" -> ((s, d) => {
+      // the reference's J1 (db_llm_service.py:144-147) attaches ONE
+      // low-cardinality dim column (c_mktsegment, 5 values) to the
+      // fact on a dense PK — exactly the scan-fused lookup shape.
+      // The r13 broadcast-hash version shipped the UNFILTERED 1.5 M-row
+      // customer table (146 MB, 0.59 s serial driver HashedRelation
+      // chain at x100, 8.6× DuckDB — r13 join_floor_profile);
+      // denseLookupJoin replaces it with a span-bytes dictionary-code
+      // array built in one distributed pass and probed inside the
+      // orders scan — no join operator, no shuffle of either side
+      // (PlanSpec-pinned; dense_lookup_ab measured the same conversion
+      // at 1.87× on a 3 M-row dim).
       val o = t(s, d, "orders")
-      val c = broadcast(t(s, d, "customer"))
-      o.join(c, o("o_custkey") === c("c_custkey"))
+      val c = t(s, d, "customer")
+      Relational.denseLookupJoin(o, c, "o_custkey", "c_custkey", "c_mktsegment")
         .groupBy(col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 2).as("revenue"))
@@ -1341,13 +1352,14 @@ object SparkEntry {
             .otherwise(lit("")),
           when(col("doc_id") % 3 === 1, concat(lit("#sec"), (col("doc_id") % 4).cast("string")))
             .otherwise(lit(""))).as("url"))
-      val noFrag = regexp_replace(col("url"), "#.*$", "")
-      val noTrack = regexp_replace(noFrag, "[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*", "")
-      val noSlash = regexp_replace(noTrack, "/$", "")
-      val schemeHost = lower(regexp_extract(noSlash, "^[a-zA-Z]+://[^/]*", 0))
-      val rest = regexp_replace(noSlash, "^[a-zA-Z]+://[^/]*", "")
-      val canonical = concat(
-        regexp_replace(schemeHost, "^https://www\\.", "https://"), rest)
+      // single-pass codegen canonicalizer (r13 judge item #4): the
+      // 5-regexp chain materialized five rewritten copies of every URL
+      // and ran 9.9× DuckDB at x100; UrlCanonicalize is one byte scan
+      // + one host toLowerCase, equal to the chain by property spec
+      // (UrlCanonicalizeSpec) — the DuckDB oracle still runs the
+      // original regex chain, so the equivalence is hash-checked on
+      // every verify run too
+      val canonical = graft.plans.UrlCanonical.canonicalCol(col("url"))
       // canonical-form groups are enum-sized (5 hosts × 40 ids ×
       // variant flags) → orderedSmall replaces the global range sort,
       // whose boundary sampling re-ran the whole canonicalize+agg chain
