@@ -140,20 +140,48 @@ object Fixtures {
     * recomputations (r12 judge stretch item #9): DuckDB re-runs the
     * actual transformation — its own JSON extraction for tool_calls,
     * its own aggregation/argmin/formatting + the 은/는 final-consonant
-    * rule for the grocery family — against the same bytes. */
-  val oracleFixtureDir = "/tmp/graft_oracle_fixtures"
+    * rule for the grocery family — against the same bytes.
+    *
+    * The directory is KEYED BY A HASH OF THE FIXTURE CONTENT (r13
+    * advisory): a fixed path gated only on `_SUCCESS` silently replays
+    * stale bytes after any future edit to [[toolCallRows]] or
+    * [[groceryJson]] — a spurious oracle mismatch with no visible
+    * cause. Content-keying makes staleness impossible (an edit changes
+    * the path, forcing a fresh write) and makes concurrent runs of the
+    * SAME code race-free by idempotence. The oracle SQL strings embed
+    * this val at query-build time, so writer and reader always agree. */
+  lazy val oracleFixtureDir: String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    toolCallRows.foreach { case (id, payload) =>
+      md.update(s"$id|$payload\n".getBytes("UTF-8"))
+    }
+    md.update(groceryJson.getBytes("UTF-8"))
+    "/tmp/graft_oracle_fixtures_" +
+      md.digest().take(8).map(b => f"$b%02x").mkString
+  }
 
   /** Idempotent write-once of the oracle-readable fixture inputs.
     * Called from Verify's main (before the dumps) and Bench's untimed
     * warmup, so the files exist before either consumer's DuckDB run
     * regardless of which runs first. Single files via coalesce(1);
-    * the oracle SQL reads them back with a part-file glob. */
+    * the oracle SQL reads them back with a part-file glob. Writes land
+    * in a temp dir first and move into place atomically, so a reader
+    * can never observe a half-written table. */
   def materializeForOracle(spark: SparkSession): Unit = {
     import org.apache.spark.sql.functions._
     def writeIfAbsent(name: String, mk: => DataFrame): Unit = {
       val p = Paths.get(oracleFixtureDir, s"$name.parquet")
-      if (!Files.exists(p.resolve("_SUCCESS")))
-        mk.coalesce(1).write.mode("overwrite").parquet(p.toString)
+      if (!Files.exists(p.resolve("_SUCCESS"))) {
+        val tmp = Paths.get(oracleFixtureDir,
+          s".$name.tmp${System.nanoTime()}")
+        mk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        try Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { // lost the race to an identical writer — fine
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.AccessDeniedException =>
+            org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+        }
+      }
     }
     writeIfAbsent("tool_calls", toolCalls(spark))
     writeIfAbsent("grocery_stores",

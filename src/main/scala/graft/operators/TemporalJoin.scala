@@ -11,11 +11,12 @@ import org.apache.spark.sql.functions._
   * union + running window, bucketed equi-join — so Catalyst keeps
   * optimizing them; no custom physical plan is needed.
   *
-  * Reference shapes: the chart/forecast services align price ticks to
-  * feature timestamps (stock_service.py:141-166 resamples then joins
-  * on the nearest prior bar) and the RAG logs attribute a search to
-  * the most recent prior ingest (routes.py:1316-1371 replays history
-  * in arrival order) — both are as-of semantics re-expressed here as
+  * Reference shapes: the chart pipeline aligns price bars to request
+  * timestamps (yahoo_finance_service.py:102-121 fetches the
+  * timestamp-aligned chart series that tool_executor.py:304-331
+  * consumes bar-by-bar) and the RAG logs attribute a search to the
+  * most recent prior ingest (routes.py:1316-1371 replays history in
+  * arrival order) — both are as-of semantics re-expressed here as
   * one declarative operator instead of a driver-side loop.
   */
 object TemporalJoin {
