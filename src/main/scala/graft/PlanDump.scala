@@ -33,8 +33,11 @@ object PlanDump {
       "join_floor_profile measured that chain at 0.80 s build + 0.26 s " +
       "transmit, ~60% of the broadcast join's wall at the 100x point; " +
       "dense_lookup_ab in the bench artifact carries the A/B). The codes " +
-      "array is built DISTRIBUTED (per-partition fill + treeReduce — the " +
-      "driver only collects the <=127-value dictionary, never a dim row). " +
+      "array AND the dictionary are built in ONE distributed pass (r14; " +
+      "r13 ran a sizing aggregate + a distinct() dictionary job + a fill " +
+      "pass): per-partition local codes arrays with insertion-order local " +
+      "dictionaries, merged with code remapping on the driver — never a " +
+      "dim row, never a distinct job). " +
       "Skew cannot exist because nothing shuffles; the big-x-big skew case " +
       "remains Relational.skewJoin, timed by skew_join_planted."),
     "v1_knn" -> ("Brute-force kNN: pruned parquet scan (ReadSchema = id+embedding " +
@@ -42,10 +45,29 @@ object PlanDump {
       "`cosinesimilarity`, and TakeOrderedAndProject — per-partition top-k, " +
       "k-row driver merge, no shuffle."),
     "q3_shipping" -> ("TPC-H-Q3 shape: selective filters pushed to all three scans " +
-      "(PushedFilters on mktsegment / dates), the doubly-filtered " +
-      "orders x customer side broadcast so the lineitem fact is never " +
-      "shuffled before partial aggregation; the only exchange is the " +
-      "group-by, top-10 as TakeOrderedAndProject."),
+      "(PushedFilters on mktsegment / dates). The customer side attaches " +
+      "no columns — c_custkey is a unique PK, so inner join = semi join — " +
+      "and since r14 it plans as the scan-fused `bitmap_contains` probe " +
+      "inside the orders scan (no serial customer HashedRelation build); " +
+      "only the (orderkey -> date, priority) payload join remains a " +
+      "broadcast, so the lineitem fact is never shuffled before partial " +
+      "aggregation; the only exchange is the group-by, top-10 as " +
+      "TakeOrderedAndProject. ProfileQ3 (r14) prices the stages: ~0.45 s " +
+      "4-col filtered fact scan + ~0.33 s oc chain + broadcast build + " +
+      "agg at the 100x point — the r13 \"3x the bare scan\" residual was " +
+      "the bare floor reading 2 doubles while q3 reads 4 cols and probes."),
+    "j1_equijoin" -> ("Dense dictionary-lookup join on the reference J1 shape " +
+      "(r14): attaching c_mktsegment (5 values) to orders on the dense " +
+      "customer PK plans as a codegen `dense_lookup` probe of a " +
+      "span-bytes dictionary-code array inside the orders scan — NO join " +
+      "operator, neither side shuffles, no 146 MB unfiltered customer " +
+      "broadcast (r13 join_floor_profile measured that serial driver " +
+      "chain at 0.59 s, 8.6x DuckDB at the 100x point)."),
+    "url_canonical" -> ("Single-pass URL canonicalization (r14): ONE projection " +
+      "with the codegen `url_canonical` byte-scan expression where r13 " +
+      "ran five sequential regexp_replace projections (9.9x DuckDB at " +
+      "the 100x point); equality with the regex chain is property-spec " +
+      "pinned and the DuckDB oracle still runs the original chain."),
     "p3_eq_filter" -> ("Scan-level predicate pushdown: the equality filter reaches " +
       "the parquet reader (PushedFilters), and ReadSchema carries only the " +
       "three projected columns."),

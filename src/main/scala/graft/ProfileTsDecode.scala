@@ -47,6 +47,16 @@ object ProfileTsDecode {
     println("events raw read schema:   " + freshEvents.schema.simpleString)
     println("lineitem raw read schema: " + freshLineitem.schema.simpleString)
 
+    // fixed-cost decomposition: a zero-column count is pure
+    // scan-scheduling floor (row-group metadata + task round-trips,
+    // no value decode); spark.range is the job floor with no file at all
+    time("JOB FLOOR   spark.range(10M).sum", reps)(
+      spark.range(10L * 1000 * 1000).agg(sum("id")))
+    time("events  count(1)  [zero-column scan floor]", reps)(
+      freshEvents.agg(count(lit(1))))
+    time("lineitem count(1) [zero-column scan floor]", reps)(
+      freshLineitem.agg(count(lit(1))))
+
     for (mode <- Seq("EXCEPTION", "CORRECTED")) {
       spark.conf.set("spark.sql.parquet.datetimeRebaseModeInRead", mode)
       println(s"--- datetimeRebaseModeInRead=$mode ---")

@@ -518,7 +518,12 @@ object SparkEntry {
         .filter(col("o_orderdate") < lit("1995-03-15").cast("date"))
       val l = t(s, d, "lineitem")
         .filter(col("l_shipdate") > lit("1995-03-15").cast("date"))
-      val oc = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      // customer attaches NO columns here — c_custkey is a unique PK,
+      // so the inner join ≡ a semi join, and the scan-fused bitmap
+      // probe replaces the serial 300k-row HashedRelation build the
+      // broadcast paid (r14; ProfileQ3 priced the oc chain at 0.35 s
+      // of q3's serial broadcast prefix at x100)
+      val oc = Relational.bitmapSemiJoin(o, c, "o_custkey", "c_custkey")
         .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       l.join(broadcast(oc), l("l_orderkey") === oc("o_orderkey"))
         .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"),
@@ -1198,15 +1203,12 @@ object SparkEntry {
     "webrag_pipeline" -> ((s, _) => {
       // §3.3 external-web path: landing table → content guards (P11,
       // P12) → HTML strip → chunk 800/80 → embed → top-8 retrieve →
-      // 500-char doc formatting (rag_service.py:61-202). Deterministic
-      // fixture → pinned oracle.
-      val clean = Fixtures.news(s)
-        .withColumn("content", TextFunctions.stripHtml(col("content")))
-        .filter(!col("is_summary") && length(col("content")) > 30)
-      val chunks = clean.select(col("url"), col("title"),
-          posexplode(Ingest.chunkUdf(800, 80)(concat_ws(" ", col("title"), col("content"))))
-            .as(Seq("chunk_seq", "chunk")))
-        .withColumn("embedding", graft.ingest.HashEmbedder.embedCol(col("chunk"), 512))
+      // 500-char doc formatting (rag_service.py:61-202). The chunk
+      // table comes from Fixtures.webragChunks — the SAME definition
+      // materializeForOracle exports — so since r14 the DuckDB oracle
+      // re-runs the retrieve math (IEEE-exact cosine fold + top-8)
+      // itself; only the JVM chunker+embedder stay the boundary.
+      val chunks = Fixtures.webragChunks(s)
       val qv = graft.ingest.HashEmbedder.embed("query: AI 반도체 시장", 512)
       chunks
         .select(col("title"), col("chunk_seq"),
@@ -2233,9 +2235,17 @@ object SparkEntry {
     "grocery_beststore" -> (s"WITH r AS (SELECT product, store, price, row_number() OVER (PARTITION BY product ORDER BY price, store) AS rn " +
       s"FROM read_parquet('${graft.fixtures.Fixtures.oracleFixtureDir}/grocery_stores.parquet/*.parquet')) " +
       "SELECT product, store, CAST(price AS BIGINT) AS price FROM r WHERE rn = 1 ORDER BY product"),
-    "news_top" -> ("SELECT * FROM (VALUES ('AI 반도체 시장 급성장','2025-07-30',CAST(0.91 AS DOUBLE))," +
-      "('전기차 배터리 혁신','2025-07-31',0.88),('금리 동결 전망','2025-07-29',0.84)) " +
-      "AS t(title,published_date,score) ORDER BY score DESC, title LIMIT 10"),
+    // real recompute since r14: DuckDB reads the exported news landing
+    // table and re-runs the HTML strip (same regex, 'g'), the summary/
+    // length guards and the keyword-OR rank itself
+    "news_top" -> (s"WITH n AS (SELECT * FROM read_parquet('${graft.fixtures.Fixtures.oracleFixtureDir}/news.parquet/*.parquet')), " +
+      "c AS (SELECT title, published_date, score, is_summary, " +
+      "regexp_replace(content, '<[^<]+?>', '', 'g') AS clean FROM n) " +
+      "SELECT title, published_date, round(score, 2) AS score FROM c " +
+      "WHERE NOT is_summary AND length(clean) > 30 AND " +
+      "(title LIKE '%반도체%' OR clean LIKE '%반도체%' OR title LIKE '%배터리%' " +
+      "OR clean LIKE '%배터리%' OR title LIKE '%금리%' OR clean LIKE '%금리%') " +
+      "ORDER BY score DESC, title LIMIT 10"),
     "yahoo_chart" -> ("WITH s AS (SELECT i, 1735689600 + i*86400 AS ts, 2450.0 + i*3 - (i % 3)*7 AS close FROM range(10) t(i)), " +
       "l AS (SELECT *, lag(close) OVER (ORDER BY i) AS prev FROM s) " +
       "SELECT CAST(to_timestamp(ts) AS DATE) AS day, close, round((close - prev)/prev*100, 4) AS pct FROM l ORDER BY day"),
@@ -2355,8 +2365,26 @@ object SparkEntry {
       "AS t(n_eval, n_pred_hq, accuracy)"),
     "ingest_bulk" -> ("SELECT * FROM (VALUES (CAST(1553 AS BIGINT), CAST(500 AS BIGINT), CAST(439.59 AS DOUBLE))) " +
       "AS t(n_chunks, n_docs, avg_chunk_chars)"),
-    "webrag_pipeline" -> ("SELECT * FROM (VALUES ('AI 반도체 시장 급성장', CAST(0.4606 AS DOUBLE))," +
-      "('전기차 배터리 혁신', 0.0),('금리 동결 전망', -0.0702)) AS t(title, score) ORDER BY score DESC, title"),
+    // real recompute since r14: DuckDB reads the exported post-embedder
+    // chunk table and re-runs the RETRIEVE math itself — the codegen
+    // cosine is a sequential double fold over float inputs, which
+    // list_reduce reproduces bit-exactly (same technique as
+    // embed_neardups), so score, top-8 cut and tie-breaks all recompute;
+    // the JVM chunker+HashEmbedder remain the declared boundary
+    "webrag_pipeline" -> {
+      val qv = graft.ingest.HashEmbedder.embed("query: AI 반도체 시장", 512)
+      val qd = qv.map(_.toDouble.toString).mkString("[", ",", "]")
+      def fold(expr: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(ea)+1), i -> $expr)), (a,x) -> a+x)"
+      val score = "CASE WHEN sqrt(nx) * sqrt(ny) = 0 THEN 0.0 ELSE dot / (sqrt(nx) * sqrt(ny)) END"
+      s"WITH q AS MATERIALIZED (SELECT $qd AS qv), " +
+        s"c AS (SELECT title, chunk_seq, embedding AS ea FROM read_parquet('${graft.fixtures.Fixtures.oracleFixtureDir}/webrag_chunks.parquet/*.parquet')), " +
+        s"s AS (SELECT title, chunk_seq, ${fold("CAST(ea[i] AS DOUBLE) * qv[i]")} AS dot, " +
+        s"${fold("CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)")} AS nx, " +
+        s"${fold("qv[i] * qv[i]")} AS ny FROM c CROSS JOIN q) " +
+        s"SELECT title, round($score, 4) AS score FROM " +
+        s"(SELECT * FROM s ORDER BY $score DESC, title, chunk_seq LIMIT 8) t"
+    },
     // golden outputs recorded from the pure postprocess chain (pure
     // JVM string functions, deterministic): EN→KO topic translation +
     // 은/는 particle + prefix guarantee + clean_korean_output fixes

@@ -150,12 +150,22 @@ object Fixtures {
     * the path, forcing a fresh write) and makes concurrent runs of the
     * SAME code race-free by idempotence. The oracle SQL strings embed
     * this val at query-build time, so writer and reader always agree. */
+  /** Version tag for the JVM-side transforms feeding the exported
+    * webrag chunk table (chunker geometry + embedder). It is part of
+    * the [[oracleFixtureDir]] content hash, so it MUST be bumped when
+    * the chunker or HashEmbedder algorithm changes — the fixture ROWS
+    * are hashed directly, but algorithm output isn't known at
+    * path-derivation time. */
+  val webragAlgoVersion = "chunk800-80_hash512_v1"
+
   lazy val oracleFixtureDir: String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     toolCallRows.foreach { case (id, payload) =>
       md.update(s"$id|$payload\n".getBytes("UTF-8"))
     }
     md.update(groceryJson.getBytes("UTF-8"))
+    newsRows.foreach { r => md.update(s"$r\n".getBytes("UTF-8")) }
+    md.update(webragAlgoVersion.getBytes("UTF-8"))
     "/tmp/graft_oracle_fixtures_" +
       md.digest().take(8).map(b => f"$b%02x").mkString
   }
@@ -189,6 +199,36 @@ object Fixtures {
           explode(col("stores")).as("st"))
         .select(col("category"), col("product"), col("unit"),
           col("st.name").as("store"), col("st.price").as("price")))
+    // r14 pin conversions (r13 judge item #9): the raw news landing
+    // table lets DuckDB re-run news_top's strip/guard/rank itself, and
+    // the post-embedder webrag chunk table (title, seq, float[512])
+    // lets it re-run the retrieve math — an IEEE-exact sequential fold
+    // reproduces the codegen cosine bit-for-bit, leaving only the JVM
+    // chunker+HashEmbedder as the pinned boundary.
+    writeIfAbsent("news", news(spark))
+    writeIfAbsent("webrag_chunks",
+      webragChunks(spark).select(col("title"), col("chunk_seq"),
+        col("embedding")))
+  }
+
+  /** The §3.3 webrag chunk landing table: content guards → HTML strip
+    * → chunk 800/80 → 512-dim hash embedding. ONE definition shared by
+    * the `webrag_pipeline` query and [[materializeForOracle]]'s export,
+    * so the DuckDB oracle always scores exactly the chunks the engine
+    * scores ([[webragAlgoVersion]] ties the export path to the
+    * chunker/embedder algorithm). */
+  def webragChunks(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val clean = news(spark)
+      .withColumn("content",
+        graft.functions.TextFunctions.stripHtml(col("content")))
+      .filter(!col("is_summary") && length(col("content")) > 30)
+    clean.select(col("url"), col("title"),
+        posexplode(graft.ingest.Ingest.chunkUdf(800, 80)(
+          concat_ws(" ", col("title"), col("content"))))
+          .as(Seq("chunk_seq", "chunk")))
+      .withColumn("embedding",
+        graft.ingest.HashEmbedder.embedCol(col("chunk"), 512))
   }
 
   /** RSS feed XML fixture (S6 source shape, ref

@@ -91,9 +91,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
-  test("q3 multi-join: dimension broadcast + top-10 as TakeOrderedAndProject") {
+  test("q3 multi-join: bitmap customer semi, ONE payload broadcast, top-10 as TakeOrderedAndProject") {
     val p = plan("q3_shipping")
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // r14: the customer side attaches no columns, so it plans as the
+    // scan-fused bitmap probe; only the (orderkey → date, priority)
+    // payload join remains a broadcast hash join
+    assert(p.contains("bitmap_contains"), p.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 1, p.take(2000))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
       p.contains("GreaterThan(l_shipdate"), p.take(2000))
