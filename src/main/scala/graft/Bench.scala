@@ -866,7 +866,10 @@ object Bench {
         }.toSeq.sortBy(-_._1).headOption
       prior match {
         case Some((rn, path)) =>
-          val txt = Files.readString(path)
+          // the committed BENCH_r*.json is the round driver's wrapper:
+          // {"n":…,"sf":…,"tail":"<bench log tail, JSON-escaped>"} —
+          // unescape so the embedded artifact's keys match
+          val txt = Files.readString(path).replace("\\\"", "\"")
           def num(k: String): Option[Double] =
             (s""""$k"\\s*:\\s*([0-9.]+)""").r.findFirstMatchIn(txt)
               .map(_.group(1).toDouble)
