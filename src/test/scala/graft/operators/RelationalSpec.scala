@@ -301,6 +301,46 @@ class RelationalSpec extends SparkSpec {
     assert(out3.columns.contains("tag") && out3.count() == 0L)
   }
 
+  test("denseLookupJoin fallback path runs exactly ONE build job (r13 item #8)") {
+    // r13 ran sizing agg + distinct() dictionary + fill — and the
+    // dictionary job ran even when the span had already disqualified
+    // the dim. The single-pass build must cost one aborted scan job on
+    // an out-of-contract dim, not three.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val fact = Seq((1L, "a")).toDF("k", "p")
+      val wide = Seq((1L, "x"), (1L << 61, "y")).toDF("dk", "tag")
+      // listener delivery is async (the bus is private[spark]): the
+      // build job itself is synchronous, so poll briefly for the
+      // event, then give any EXTRA event time to arrive before the
+      // equality assert
+      def settledJobs(): Int = {
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+        Thread.sleep(300)
+        jobs.get()
+      }
+      jobs.set(0)
+      Relational.denseLookupJoin(fact, wide, "k", "dk", "tag") // construction only
+      val n1 = settledJobs()
+      assert(n1 == 1,
+        s"expected ONE single-pass build job before the fallback, saw $n1")
+      // in-contract dims also build in one job (no sizing agg, no dict job)
+      val dim = Seq((1L, "x"), (2L, "y")).toDF("dk", "tag")
+      jobs.set(0)
+      Relational.denseLookupJoin(fact, dim, "k", "dk", "tag")
+      val n2 = settledJobs()
+      assert(n2 == 1,
+        s"expected ONE single-pass build job, saw $n2")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("bitmapSemiJoin with an empty key side returns no rows") {
     val fact = Seq((1L, "a")).toDF("k", "p")
     val keys = Seq.empty[Long].toDF("kk")
