@@ -228,11 +228,14 @@ object Relational {
     // merges ≤buildPar partials incrementally as tasks finish. Coalesce
     // bounds the merge traffic to buildPar × structure size — the fill
     // is memory-bandwidth work 8 tasks already saturate locally.
-    val keyRdd = keyDf.as[Long](org.apache.spark.sql.Encoders.scalaLong).rdd
+    // InternalRow path (r14): `as[Long].rdd` pays the encoder
+    // deserializer per row; `toRdd.getLong(0)` extracts the primitive
+    // straight from the (reused) UnsafeRow — nothing is retained.
+    val keyRdd = keyDf.queryExecution.toRdd
     val buildPar = math.max(1, math.min(8, keyRdd.getNumPartitions))
     val mbb = maxBitmapBytes; val mk = maxKeys
     val merged = keyRdd.coalesce(buildPar)
-      .mapPartitions(it => buildKeyPartial(it, mbb, mk)
+      .mapPartitions(it => buildKeyPartial(it.map(_.getLong(0)), mbb, mk)
         .map(p => Option(p)))
       .fold(Option.empty[KeyPartial]) {
         case (Some(a), Some(b)) => Some(mergeKeyPartials(a, b, mbb, mk))
@@ -563,14 +566,40 @@ object Relational {
     // splits on a 60 MB span that was 1.9 GB of array shuffle for a
     // 3 M-row dim (measured; the fill itself is memory-bandwidth work
     // that 8 tasks saturate locally).
+    //
+    // InternalRow fast path (r14): `df.rdd` converts EVERY dim row to
+    // an external GenericRow (allocation + UTF8String→String) just so
+    // the build can read two fields — measured ~0.25 s of the 3 M-row
+    // build job at the x100 point. For scalar payload types the build
+    // reads the (reused) InternalRow directly; only first-seen
+    // dictionary values are copied (UTF8String.clone, ≤127 times) and
+    // converted to external form once at the end for the decode
+    // literals. Exotic payload types keep the external-Row path.
     val mcb = maxCodesBytes
-    val buildPar = math.max(1, math.min(8, dimDf.rdd.getNumPartitions))
-    val merged = dimDf.rdd.coalesce(buildPar)
+    val vType = dim.schema(valueCol).dataType
+    import org.apache.spark.sql.types._
+    val internalOk = vType match {
+      case StringType | BooleanType | ByteType | ShortType |
+           IntegerType | LongType | FloatType | DoubleType => true
+      case _ => false
+    }
+    val pairRdd =
+      if (internalOk) {
+        val vt = vType
+        dimDf.queryExecution.toRdd
+          .mapPartitions(_.map(r => (r.getLong(0), r.get(1, vt))))
+      } else dimDf.rdd.mapPartitions(_.map(r => (r.getLong(0), r.get(1))))
+    val buildPar = math.max(1, math.min(8, pairRdd.getNumPartitions))
+    val merged = pairRdd.coalesce(buildPar)
       .mapPartitions(it => buildCodesPartial(it, mcb).map(p => Option(p)))
       .fold(Option.empty[CodesPartial]) {
         case (Some(a), Some(b)) => Some(mergeCodesPartials(a, b, mcb))
         case (a, b) => a.orElse(b)
       }
+    def dictExternal(v: Any): Any = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case other => other
+    }
     merged match {
       case None =>
         fact.where(lit(false))
@@ -594,7 +623,8 @@ object Relational {
         fact.withColumn("_dlj_code", codeCol)
           .where(col("_dlj_code") >= 0)
           .withColumn(valueCol,
-            element_at(array(p.dict.map(lit(_)).toSeq: _*), col("_dlj_code") + 1))
+            element_at(array(p.dict.map(v => lit(dictExternal(v))).toSeq: _*),
+              col("_dlj_code") + 1))
           .drop("_dlj_code")
     }
   }
@@ -612,7 +642,7 @@ object Relational {
   private val codesOverflow =
     CodesPartial(0L, 0L, 0L, 0L, null, null, None, overflow = true)
 
-  private def buildCodesPartial(it: Iterator[org.apache.spark.sql.Row],
+  private def buildCodesPartial(it: Iterator[(Long, Any)],
                                 maxCodesBytes: Long): Iterator[CodesPartial] = {
     if (!it.hasNext) return Iterator.empty
     val maxLen = maxCodesBytes.toInt
@@ -624,15 +654,22 @@ object Relational {
     var dup: Option[Long] = None
     var overflow = false
     while (it.hasNext && !overflow) {
-      val r = it.next()
-      val k = r.getLong(0); val v = r.get(1)
+      val (k, v) = it.next()
       count += 1
       if (k < mn) mn = k
       if (k > mx) mx = k
       var c = codeOf.get(v)
       if (c == null) {
         if (dict.length >= 127) overflow = true
-        else { c = Integer.valueOf(dict.length); dict += v; codeOf.put(v, c) }
+        else {
+          // first-seen value: store a STABLE copy — on the InternalRow
+          // path `v` may be a UTF8String view into a reused row buffer
+          val stable = v match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+            case other => other
+          }
+          c = Integer.valueOf(dict.length); dict += stable; codeOf.put(stable, c)
+        }
       }
       if (!overflow) {
         if (codes == null) {
