@@ -50,6 +50,14 @@ per = {k: min(per_cold.get(k, float("inf")), per_warm.get(k, float("inf")))
 scan_sql = {
     "lineitem": "SELECT sum(l_extendedprice), avg(l_quantity), count(*) FROM lineitem",
     "events": "SELECT count(ts), sum(value) FROM events",
+    # a6's exact column set as an UNGROUPED scan (r14 judge item #3):
+    # the same bare-7-column floor graft.Bench times Spark-side in
+    # a6_floor_ab, so "a6 is scan-bound" is certified (or refuted) by
+    # numbers from BOTH engines in one artifact.
+    "lineitem7": ("SELECT sum(l_quantity), sum(l_extendedprice), "
+                  "sum(l_extendedprice * (1 - l_discount)), count(*), "
+                  "count(l_returnflag), count(l_linestatus) FROM lineitem "
+                  "WHERE l_shipdate <= DATE '2000-12-01'"),
 }
 scan = {}
 for name, q in scan_sql.items():

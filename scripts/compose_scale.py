@@ -16,7 +16,7 @@ import json
 import sys
 
 LAMBDA_HEAVY = ["contamination", "doc_fingerprint", "langid_confusion",
-                "quality_scores"]
+                "quality_scores", "multimodal_decode"]
 R3_EXCLUDED = ["doc_fingerprint", "langid_confusion", "quality_scores"]
 
 METHOD = (
@@ -32,14 +32,21 @@ METHOD = (
     "round 10) — single-shot seq times in the concurrent passes' load "
     "wake carried a 2-3x noise tail. Single-machine "
     "local[32]; absolute walls vary with box load (observed +/-50-80%) "
-    "but each point is internally consistent. DISCLOSURE: four oracles "
-    f"({', '.join(LAMBDA_HEAVY)}) recompute per-char/per-token semantics "
-    "via DuckDB list lambdas, which are interpreter-bound and dominate "
-    "DuckDB's wall at scale while the engine runs them as compiled JVM "
-    "UDFs. That asymmetry favors Spark, so the ratio is reported three "
-    "ways: the full real-SQL subset; excluding all four lambda-heavy "
-    "oracles (most conservative); and excluding only the three round-4 "
-    "additions (comparable to round 3's published trend)."
+    "but each point is internally consistent. DISCLOSURE: five oracles "
+    f"({', '.join(LAMBDA_HEAVY)}) recompute per-char/per-token/per-byte "
+    "semantics via DuckDB list lambdas, which are interpreter-bound and "
+    "dominate DuckDB's wall at scale while the engine runs them as "
+    "compiled JVM UDFs. That asymmetry favors Spark, so the ratio is "
+    "reported three ways: the full real-SQL subset; excluding all "
+    "lambda-heavy oracles (most conservative); and excluding only the "
+    "three round-4 additions (comparable to round 3's published trend). "
+    "The x1000 point (r15) runs a REDUCED suite: SPARK_GRAFT_EXCLUDE "
+    "drops range_join (its oracle-and-engine pair enumeration grows "
+    "~min(N,30)*N — hours in DuckDB at 17 GB) and the four r4 "
+    "lambda-heavy oracles (interpreter-bound over 5 M docs); the "
+    "artifact's excluded_queries key records the list, and the three "
+    "ratio slices remain comparable because the conservative slice "
+    "already excludes the lambda-heavy set at every point."
 )
 
 

@@ -1,8 +1,9 @@
 #!/usr/bin/env bash
-# Runs the bench suite at the sf0.1 / 10x / 100x scale points and
-# composes BENCH_SCALE.json. Regenerate the replicated dirs first:
+# Runs the bench suite at the sf0.1 / 10x / 100x / 1000x scale points
+# and composes BENCH_SCALE.json. Regenerate the replicated dirs first:
 #   python3 scripts/gen_scale.py /root/testdata/sf0.1 /tmp/scale/x10 10
 #   python3 scripts/gen_scale.py /root/testdata/sf0.1 /tmp/scale/x100 100
+#   python3 scripts/gen_scale.py /root/testdata/sf0.1 /tmp/scale/x1000 1000
 # (driver-side tooling; the Scala library never depends on this)
 set -euo pipefail
 cd "$(dirname "$0")/.."
@@ -35,8 +36,27 @@ idle_wait
 # the x100 point also runs the cluster-shape rehearsal (suite re-run at
 # shuffle.partitions=200 — plan-degeneracy check at a realistic task count)
 SPARK_GRAFT_CLUSTER_PROBE=1 run_point /tmp/scale/x100 /tmp/scale/bench_x100.json
+idle_wait
+# x1000 (~17 GB, r15): the point where the dense probe contracts BREAK
+# on purpose — the 150 M-key orders span exceeds denseLookupJoin's
+# maxCodesBytes, so salted_join/dense_lookup_ab run the broadcast-join
+# fallback for real (probe_paths discloses which plan each probe query
+# took), and SPARK_GRAFT_PROBE_DEGRADE exercises the dense->sparse->
+# bloom degradation chain of bitmapSemiJoin on the real 30 M-key urgent
+# set with count-equality asserted. REDUCED suite, disclosed
+# in-artifact: range_join's pair enumeration grows ~min(N,30)*N (hours
+# in DuckDB here) and the four r4 lambda-heavy oracles are
+# interpreter-bound over 5 M docs; scale-independent extra blocks
+# (vector/skew/streaming, already measured at the other points) and the
+# two-extra-seq-pass tail attribution are skipped to keep the point's
+# runtime bounded.
+SPARK_GRAFT_PROBE_DEGRADE=1 \
+SPARK_GRAFT_EXCLUDE=range_join,contamination,doc_fingerprint,langid_confusion,quality_scores \
+SPARK_GRAFT_SKIP_BLOCKS=vector,skew_join_planted,proximity_count_ab,segmenter_sustained,streaming_state_sustained,tail_attribution \
+  run_point /tmp/scale/x1000 /tmp/scale/bench_x1000.json
 
 python3 scripts/compose_scale.py BENCH_SCALE.json \
   "sf0.1 (17 MB, driver scale)=/tmp/scale/bench_sf01.json" \
   "10x sf0.1 (170 MB)=/tmp/scale/bench_x10.json" \
-  "100x sf0.1 (1.7 GB)=/tmp/scale/bench_x100.json"
+  "100x sf0.1 (1.7 GB)=/tmp/scale/bench_x100.json" \
+  "1000x sf0.1 (17 GB, reduced suite)=/tmp/scale/bench_x1000.json"

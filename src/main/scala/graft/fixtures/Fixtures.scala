@@ -150,13 +150,45 @@ object Fixtures {
     * the path, forcing a fresh write) and makes concurrent runs of the
     * SAME code race-free by idempotence. The oracle SQL strings embed
     * this val at query-build time, so writer and reader always agree. */
-  /** Version tag for the JVM-side transforms feeding the exported
-    * webrag chunk table (chunker geometry + embedder). It is part of
-    * the [[oracleFixtureDir]] content hash, so it MUST be bumped when
-    * the chunker or HashEmbedder algorithm changes — the fixture ROWS
-    * are hashed directly, but algorithm output isn't known at
-    * path-derivation time. */
-  val webragAlgoVersion = "chunk800-80_hash512_v1"
+  /** Version tag for EVERY JVM-side transform feeding the exported
+    * webrag chunk table — not just chunker geometry + embedder but
+    * also the HTML strip and the is_summary/length>30 content guards
+    * (r14 advisory: those were unversioned, so editing
+    * [[graft.functions.TextFunctions.stripHtml]] or the guards in
+    * [[webragChunks]] would have replayed a stale export from the old
+    * path — exactly the spurious-mismatch mode content-keying exists
+    * to eliminate). It is part of the [[oracleFixtureDir]] content
+    * hash, so it MUST be bumped when any of those algorithms change —
+    * the fixture ROWS are hashed directly, but algorithm output isn't
+    * known at path-derivation time. */
+  val webragAlgoVersion = "striphtml-v1_guards-v1_chunk800-80_hash512_v1"
+
+  /** The S2 medication fixture DDL — ONE definition shared by the
+    * `s2_mysql_types` query's Derby round-trip and the oracle export
+    * ([[materializeForOracle]] writes the raw JDBC ARRIVAL rows to
+    * parquet so DuckDB recomputes the TIME→"HH:MM" truncation,
+    * BIT→bool and DATE→ISO coercions itself — r15 pin conversion; the
+    * JDBC transport is the remaining declared boundary). The strings
+    * feed [[oracleFixtureDir]]'s content hash, so editing a row moves
+    * the export path and forces a fresh write. */
+  val medicationDdl: Seq[String] = Seq(
+    """CREATE TABLE medication (
+      medication_id INT NOT NULL, name VARCHAR(40), dosage VARCHAR(20),
+      intake_time TIME, alarm_enabled SMALLINT, refill_date DATE)""",
+    "INSERT INTO medication VALUES " +
+      "(1, '혈압약', '5mg', TIME('08:30:45'), 1, DATE('2025-03-01'))," +
+      "(2, '당뇨약', '500mg', TIME('19:05:30'), 0, DATE('2025-04-15'))," +
+      "(3, '유산균', '1정', NULL, 1, NULL)")
+
+  /** The medication table exactly as it ARRIVES from JDBC (Derby
+    * standing in for MariaDB with the same Spark arrival types) —
+    * pre-coercion. */
+  def medicationArrival(spark: SparkSession): DataFrame = {
+    val dir = Files.createTempDirectory("graft_derby_med_").toString
+    val url = graft.sources.JdbcSource.derbyUrl(dir)
+    graft.sources.JdbcSource.execute(url, medicationDdl)
+    graft.sources.JdbcSource.readTable(spark, url, "medication")
+  }
 
   lazy val oracleFixtureDir: String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -166,6 +198,7 @@ object Fixtures {
     md.update(groceryJson.getBytes("UTF-8"))
     newsRows.foreach { r => md.update(s"$r\n".getBytes("UTF-8")) }
     md.update(webragAlgoVersion.getBytes("UTF-8"))
+    medicationDdl.foreach(s => md.update(s.getBytes("UTF-8")))
     "/tmp/graft_oracle_fixtures_" +
       md.digest().take(8).map(b => f"$b%02x").mkString
   }
@@ -209,14 +242,19 @@ object Fixtures {
     writeIfAbsent("webrag_chunks",
       webragChunks(spark).select(col("title"), col("chunk_seq"),
         col("embedding")))
+    // r15 pin conversion: the raw JDBC arrival rows (pre-coercion) —
+    // DuckDB re-runs the dialect coercions from these bytes
+    writeIfAbsent("medication_arrival", medicationArrival(spark))
   }
 
   /** The §3.3 webrag chunk landing table: content guards → HTML strip
     * → chunk 800/80 → 512-dim hash embedding. ONE definition shared by
     * the `webrag_pipeline` query and [[materializeForOracle]]'s export,
     * so the DuckDB oracle always scores exactly the chunks the engine
-    * scores ([[webragAlgoVersion]] ties the export path to the
-    * chunker/embedder algorithm). */
+    * scores ([[webragAlgoVersion]] ties the export path to the WHOLE
+    * transform chain: any change to the strip, the guards below, the
+    * chunker geometry, or the embedder MUST bump that tag, or the
+    * oracle replays a stale export). */
   def webragChunks(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions._
     val clean = news(spark)

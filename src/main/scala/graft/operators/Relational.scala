@@ -234,13 +234,19 @@ object Relational {
     val keyRdd = keyDf.queryExecution.toRdd
     val buildPar = math.max(1, math.min(8, keyRdd.getNumPartitions))
     val mbb = maxBitmapBytes; val mk = maxKeys
-    val merged = keyRdd.coalesce(buildPar)
-      .mapPartitions(it => buildKeyPartial(it.map(_.getLong(0)), mbb, mk)
-        .map(p => Option(p)))
-      .fold(Option.empty[KeyPartial]) {
-        case (Some(a), Some(b)) => Some(mergeKeyPartials(a, b, mbb, mk))
-        case (a, b) => a.orElse(b)
-      }
+    // the maxKeys guard can fire inside an executor task (where Spark
+    // wraps it in a SparkException) — unwrap so callers see the same
+    // direct IllegalArgumentException the r13 driver-side build threw
+    // (r14 advisory: the wrapped form silently broke caller catches)
+    val merged = unwrapGuardIAE {
+      keyRdd.coalesce(buildPar)
+        .mapPartitions(it => buildKeyPartial(it.map(_.getLong(0)), mbb, mk)
+          .map(p => Option(p)))
+        .fold(Option.empty[KeyPartial]) {
+          case (Some(a), Some(b)) => Some(mergeKeyPartials(a, b, mbb, mk))
+          case (a, b) => a.orElse(b)
+        }
+    }
     merged match {
       case None => fact.where(lit(false))
       case Some(BitsPartial(_, mn, mx, base, words)) =>
@@ -263,6 +269,18 @@ object Relational {
   }
 
   // ---- single-pass build machinery (r14) ----------------------------
+
+  /** Re-throws the first IllegalArgumentException found in a thrown
+    * exception's cause chain (Spark wraps task-side guard failures in
+    * SparkException layers); anything else propagates unchanged. */
+  private def unwrapGuardIAE[T](body: => T): T =
+    try body catch {
+      case e: Throwable =>
+        var c: Throwable = e
+        while (c != null && !c.isInstanceOf[IllegalArgumentException])
+          c = c.getCause
+        throw (if (c != null) c else e)
+    }
 
   private def floorAlign64(k: Long): Long = k & ~63L
 

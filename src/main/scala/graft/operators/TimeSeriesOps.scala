@@ -21,19 +21,45 @@ object TimeSeriesOps {
     df.groupBy((keyCols :+ to_date(tsCol).as("day")): _*)
       .agg(avg(valCol).as("avg_value"))
 
-  /** Dense daily calendar spine per key, left-joined with values —
+  /** Dense daily calendar spine per key with values attached —
     * missing days become nulls (the interpolation input shape).
-    * Spine bounds are per-key min/max dates. */
+    * Spine bounds are per-key min/max dates.
+    *
+    * FUSED single-pass form (r15): instead of a bounds aggregation +
+    * calendar explode + left join back (three operators, two extra
+    * jobs at the 100× point — the bounds agg's extra exchange and the
+    * spine join's broadcast build), each observed row emits the gap
+    * days up to (exclusive) the NEXT observation via one `lead`
+    * window + `explode(sequence(...))`. The union of [day, next−1]
+    * ranges over consecutive observations is exactly the min..max
+    * calendar (the last row contributes just itself), and the
+    * partitioning the lead window installs (hash on `keys`) is the
+    * SAME one every downstream interpolation/run-length window needs,
+    * so the whole spine+interpolate chain runs in one exchange after
+    * the input. Precondition (unchanged from the join form's
+    * fan-out-free contract): (keys, day) unique — the resample/groupBy
+    * output shape; a duplicated day emits its single-day range twice,
+    * mirroring the old left-join duplication rather than failing.
+    * Keyless spines (empty `keys`) use a global window — callers
+    * pre-coalesce a bounded input (j3 does), same contract as the old
+    * global bounds aggregate. */
   def toDailySpine(daily: DataFrame, keys: Seq[String], dayCol: String,
                    valCol: String): DataFrame = {
-    val bounds = daily.groupBy(keys.map(col): _*)
-      .agg(min(col(dayCol)).as("_d0"), max(col(dayCol)).as("_d1"))
-    val spine = bounds
+    val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(dayCol))
+    val gapEnd = coalesce(date_sub(lead(col(dayCol), 1).over(byKey), 1),
+      col(dayCol))
+    daily
+      .select((keys.map(col) :+ col(dayCol) :+ col(valCol) :+
+        // greatest() guards the dup-day edge: sequence() refuses a
+        // descending range, and a duplicate day's lead is the same day
+        gapEnd.as("_gap_end")): _*)
+      .select((keys.map(col) :+ col(dayCol) :+ col(valCol) :+
+        explode(sequence(col(dayCol),
+          greatest(col(dayCol), col("_gap_end")),
+          expr("interval 1 day"))).as("_spine_day")): _*)
       .select((keys.map(col) :+
-        explode(sequence(col("_d0"), col("_d1"), expr("interval 1 day")))
-          .as(dayCol)): _*)
-    spine.join(daily.select((keys :+ dayCol :+ valCol).map(col): _*),
-      keys :+ dayCol, "left")
+        col("_spine_day").as(dayCol) :+
+        when(col("_spine_day") === col(dayCol), col(valCol)).as(valCol)): _*)
   }
 
   /** A8: gap-limited, both-direction, time-weighted interpolation,

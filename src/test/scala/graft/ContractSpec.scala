@@ -31,4 +31,22 @@ class ContractSpec extends SparkSpec {
     assert(undocumented.isEmpty,
       s"pinned oracles missing a PINNED.md row: $undocumented")
   }
+
+  test("PINNED.md prose counts match the live pin predicate") {
+    // r14 shipped a headline saying 24 while a paragraph still said 26
+    // (stale prose survived a regeneration). Every number PINNED.md
+    // states — the remaining-pin count and the real-recompute count —
+    // must equal what PinnedList computes, so the doc can never
+    // contradict itself or reality.
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("PINNED.md")), "UTF-8")
+    val nPinned = PinnedList.pinnedNames.size
+    val nReal = SparkEntry.oracleSql.size - nPinned
+    assert(doc.contains(s"remaining **$nPinned**"),
+      s"PINNED.md headline must say 'remaining **$nPinned**'")
+    assert(doc.contains(s"Why these $nPinned cannot"),
+      s"PINNED.md rationale paragraph must say 'these $nPinned'")
+    assert(doc.contains(s"**${SparkEntry.oracleSql.size - nPinned} are real recomputations**"),
+      s"PINNED.md must state '$nReal are real recomputations'")
+  }
 }

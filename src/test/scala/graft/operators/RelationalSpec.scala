@@ -207,15 +207,17 @@ class RelationalSpec extends SparkSpec {
     // key spacing (2^40 apart) forces the sparse path. Since the r14
     // single-pass build, the guard can trip in the TASK (a partition's
     // key buffer caps at maxKeys — even earlier than the r13 driver
-    // count-probe) or in the driver merge, so unwrap the cause chain.
+    // count-probe) or in the driver merge; bitmapSemiJoin unwraps the
+    // SparkException task wrapper, so callers see a DIRECT
+    // IllegalArgumentException either way (r14 advisory — a wrapped
+    // exception silently broke caller catch blocks written for r13).
     val fact = Seq((1L << 40, "a")).toDF("k", "p")
     val sparseKeys = spark.range(100)
       .select((col("id") * lit(1L << 40)).as("kk"))
-    val e = intercept[Exception] {
+    val e = intercept[IllegalArgumentException] {
       Relational.bitmapSemiJoin(fact, sparseKeys, "k", "kk", maxKeys = 10)
     }
-    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    val msg = Option(e.getMessage).getOrElse("")
     assert(msg.contains("maxKeys=10"))
     assert(msg.contains("bloomSemiJoin"), "error must route the caller")
     // at the boundary the sparse path still works
@@ -316,14 +318,23 @@ class RelationalSpec extends SparkSpec {
     try {
       val fact = Seq((1L, "a")).toDF("k", "p")
       val wide = Seq((1L, "x"), (1L << 61, "y")).toDF("dk", "tag")
-      // listener delivery is async (the bus is private[spark]): the
-      // build job itself is synchronous, so poll briefly for the
-      // event, then give any EXTRA event time to arrive before the
-      // equality assert
+      // listener delivery is async: drain the bus DETERMINISTICALLY
+      // via LiveListenerBus.waitUntilEmpty (r14 advisory: the old
+      // fixed Thread.sleep(300) made the n==1 equality assert flaky
+      // when a JobStart event arrived late under CI load). The bus is
+      // private[spark] — package-private is public at the JVM level,
+      // so plain reflection reaches it.
       def settledJobs(): Int = {
-        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-        while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
-        Thread.sleep(300)
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethods
+          .filter(_.getName == "waitUntilEmpty")
+          .sortBy(_.getParameterCount) // prefer the no-arg overload
+          .headOption match {
+          case Some(m) if m.getParameterCount == 0 => m.invoke(bus)
+          case Some(m) => m.invoke(bus, java.lang.Long.valueOf(10000L))
+          case None => Thread.sleep(300) // bus API moved: degrade to the old wait
+        }
         jobs.get()
       }
       jobs.set(0)
