@@ -85,6 +85,43 @@ object ProfileQ3 {
         .orderBy(desc("revenue"), col("l_orderkey"))
         .limit(10)
     }
+    // r15 shipped shape, priced stage by stage: both bitmap builds,
+    // the join-free fact probe+agg+top10, and the 10-row attach scan
+    time("r15 stage: ocKeys bitmap chain (orders probe+count)", reps) {
+      val c = Tables.load(spark, sfDir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.load(spark, sfDir, "orders")
+        .filter(col("o_orderdate") < cut)
+      graft.operators.Relational.bitmapSemiJoin(o, c, "o_custkey", "c_custkey")
+        .select(col("o_orderkey")).agg(count(lit(1)))
+    }
+    time("r15 stage: fact probe+agg+top10 (no attach)", reps) {
+      val c = Tables.load(spark, sfDir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.load(spark, sfDir, "orders")
+        .filter(col("o_orderdate") < cut)
+      val l = li.filter(col("l_shipdate") > cut)
+      val ocKeys = graft.operators.Relational
+        .bitmapSemiJoin(o, c, "o_custkey", "c_custkey").select(col("o_orderkey"))
+      graft.operators.Relational
+        .bitmapSemiJoin(l, ocKeys, "l_orderkey", "o_orderkey")
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey")).limit(10)
+    }
+    time("r15 stage: attach scan alone (orders x 10-row broadcast)", reps) {
+      import spark.implicits._
+      val ten = Seq.tabulate(10)(i => (i * 1500L + 7L, 1000.0 - i))
+        .toDF("l_orderkey", "revenue")
+      val o = Tables.load(spark, sfDir, "orders")
+        .filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+          col("o_orderpriority"))
+      o.join(broadcast(ten), ten("l_orderkey") === o("o_orderkey"))
+        .select(col("l_orderkey"), col("order_date"), col("o_orderpriority"),
+          col("revenue"))
+    }
     spark.stop()
   }
 }

@@ -140,10 +140,6 @@ object SparkEntry {
   private def orderedSmall(df: DataFrame, cols: String*): DataFrame =
     df.coalesce(1).sortWithinPartitions(cols.map(col): _*)
 
-  /** [[orderedSmall]] with explicit sort Columns (desc/mixed order). */
-  private def orderedSmallDesc(df: DataFrame, cols: Column*): DataFrame =
-    df.coalesce(1).sortWithinPartitions(cols: _*)
-
   /** Pre-computes the per-table key statistics a production corpus
     * load would build at registration time (the catalog-histogram
     * path), so the first join query over the table measures the JOIN,
@@ -541,11 +537,14 @@ object SparkEntry {
         .limit(10)
       val attach = o.select(col("o_orderkey"),
         to_date(col("o_orderdate")).as("order_date"), col("o_orderpriority"))
-      orderedSmallDesc(
-        attach.join(broadcast(top), top("l_orderkey") === attach("o_orderkey"))
-          .select(col("l_orderkey"), col("order_date"), col("o_orderpriority"),
-            col("revenue")),
-        desc("revenue"), col("l_orderkey"))
+      // TakeOrdered for the final 10-row sort — NOT coalesce(1): a
+      // coalesce here would pull the whole attach scan into one task
+      // (measured +0.86 s at x100)
+      attach.join(broadcast(top), top("l_orderkey") === attach("o_orderkey"))
+        .select(col("l_orderkey"), col("order_date"), col("o_orderpriority"),
+          col("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
     }),
     "j3_date_spine" -> ((s, d) => {
       // keyless spine: after the (map-side-combined) daily agg the

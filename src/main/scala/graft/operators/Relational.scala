@@ -175,9 +175,11 @@ object Relational {
     * aggregate plus a second fill pass — two jobs, two key-side
     * scans): each partition grows a word-aligned local bitset anchored
     * at its own key range (geometric regrow, so cost stays O(local
-    * span)), and the driver merges the ≤`buildPar` partials
-    * incrementally as tasks finish — word-aligned bases make every
-    * merge a pure word-offset OR, no bit shifting. The driver never
+    * span)), and the partials merge through a depth-2 treeReduce —
+    * level-1 merges on executors, the driver folding only ~√P
+    * pre-merged results (r15; the scan runs at full width) —
+    * word-aligned bases make every merge a pure word-offset OR, no
+    * bit shifting. The driver never
     * materializes a single key row, so the dense path has NO driver-fit
     * contract on the key COUNT at all. Single-pass also closes the r13
     * advisory hazard: with two passes over a NON-DETERMINISTIC keys
@@ -224,28 +226,36 @@ object Relational {
     val spark = fact.sparkSession
     val keyDf = keys.select(col(keyCol).cast("long").as("k"))
       .where(col("k").isNotNull)
-    // ONE distributed job: per-partition partial structures, driver
-    // merges ≤buildPar partials incrementally as tasks finish. Coalesce
-    // bounds the merge traffic to buildPar × structure size — the fill
-    // is memory-bandwidth work 8 tasks already saturate locally.
+    // ONE distributed job, built at FULL scan parallelism: per-partition
+    // partial structures merged through a depth-2 treeReduce, so the
+    // key-side scan is never throttled (the r14 coalesce(8) build
+    // dragged the whole upstream scan into 8 tasks — measured ~0.6 s of
+    // q3's build chain on a 15 M-row orders scan at x100) and the
+    // driver receives only ~√P pre-merged partials instead of P. The
+    // level-1 merges run ON EXECUTORS; worst-case movement is
+    // P × partial-size through one shuffle (partials are local-span
+    // bitsets — KBs when keys are clustered, ≤maxBitmapBytes when a
+    // partition spans the whole range), which at 1000 executors is a
+    // distributed exchange, not a driver ingest.
     // InternalRow path (r14): `as[Long].rdd` pays the encoder
     // deserializer per row; `toRdd.getLong(0)` extracts the primitive
     // straight from the (reused) UnsafeRow — nothing is retained.
     val keyRdd = keyDf.queryExecution.toRdd
-    val buildPar = math.max(1, math.min(8, keyRdd.getNumPartitions))
     val mbb = maxBitmapBytes; val mk = maxKeys
-    // the maxKeys guard can fire inside an executor task (where Spark
-    // wraps it in a SparkException) — unwrap so callers see the same
-    // direct IllegalArgumentException the r13 driver-side build threw
-    // (r14 advisory: the wrapped form silently broke caller catches)
+    // the maxKeys guard can fire inside an executor task or a tree-level
+    // merge (where Spark wraps it in a SparkException) — unwrap so
+    // callers see the same direct IllegalArgumentException the r13
+    // driver-side build threw (r14 advisory: the wrapped form silently
+    // broke caller catches)
     val merged = unwrapGuardIAE {
-      keyRdd.coalesce(buildPar)
-        .mapPartitions(it => buildKeyPartial(it.map(_.getLong(0)), mbb, mk)
-          .map(p => Option(p)))
-        .fold(Option.empty[KeyPartial]) {
-          case (Some(a), Some(b)) => Some(mergeKeyPartials(a, b, mbb, mk))
-          case (a, b) => a.orElse(b)
-        }
+      if (keyRdd.getNumPartitions == 0) Option.empty[KeyPartial]
+      else keyRdd
+        .mapPartitions(it => Iterator.single(
+          buildKeyPartial(it.map(_.getLong(0)), mbb, mk).toSeq.headOption))
+        .treeReduce((a, b) => (a, b) match {
+          case (Some(x), Some(y)) => Some(mergeKeyPartials(x, y, mbb, mk))
+          case _ => a.orElse(b)
+        }, depth = 2)
     }
     merged match {
       case None => fact.where(lit(false))
@@ -376,8 +386,9 @@ object Relational {
     Iterator.single(p)
   }
 
-  /** Driver-side incremental merge (runs inside `fold` as task results
-    * stream in, ≤buildPar live partials, bounded transient footprint).
+  /** Pairwise partial merge (runs on executors in the level-1 tree
+    * reduction and on the driver for the final ~√P results; at most
+    * two live partials per call, bounded transient footprint).
     * Re-densifies whenever the COMBINED span fits, so the final
     * dense/sparse choice equals the global-min/max decision. */
   private def mergeKeyPartials(a: KeyPartial, b: KeyPartial,
@@ -543,8 +554,9 @@ object Relational {
     * build was a sizing aggregate + a distinct() dictionary job + a
     * fill pass — three jobs, three dim-side scans): each partition
     * grows a local codes array anchored at its own key range and
-    * builds its own insertion-order dictionary; the driver merges the
-    * ≤`buildPar` partials incrementally, remapping each partial's
+    * builds its own insertion-order dictionary; partials merge
+    * through a depth-2 treeReduce (level-1 on executors, r15 — the dim
+    * scan runs at full width), remapping each partial's
     * dictionary codes into the accumulated dictionary. The driver
     * never holds a dim row, so there is NO key-count driver contract
     * (the span check alone bounds the array), and — single pass — the
@@ -578,12 +590,16 @@ object Relational {
       fact(factKey).cast("long") === col("_dlj_key")).drop("_dlj_key")
     val dimDf = dim.select(col(keyCol).cast("long").as("k"),
       col(valueCol).as("v")).where(col("k").isNotNull)
-    // ONE distributed job. Coalesce bounds the merge traffic: P
-    // partitions each ship a ≤span-byte array, so P=8 keeps the
-    // movement at 8x span instead of (scan splits)x span — at 32
-    // splits on a 60 MB span that was 1.9 GB of array shuffle for a
-    // 3 M-row dim (measured; the fill itself is memory-bandwidth work
-    // that 8 tasks saturate locally).
+    // ONE distributed job, built at FULL scan parallelism with a
+    // depth-2 treeReduce merge (r15; the r14 coalesce(8) build bounded
+    // merge traffic to 8 × span — at 32 splits on a 60 MB span the
+    // unthrottled form was 1.9 GB of array movement — but it also
+    // dragged the whole dim scan into 8 tasks, ~3-4× the scan wall).
+    // The tree keeps both properties: the scan runs at its natural
+    // width, the P full-width partials move through ONE executor-side
+    // shuffle level (worst case P × span bytes, distributed — the same
+    // 1.9 GB is now an exchange between executors, not a driver
+    // ingest), and the driver receives only ~√P pre-merged arrays.
     //
     // InternalRow fast path (r14): `df.rdd` converts EVERY dim row to
     // an external GenericRow (allocation + UTF8String→String) just so
@@ -607,6 +623,18 @@ object Relational {
         dimDf.queryExecution.toRdd
           .mapPartitions(_.map(r => (r.getLong(0), r.get(1, vt))))
       } else dimDf.rdd.mapPartitions(_.map(r => (r.getLong(0), r.get(1))))
+    // Unlike the bitmap build (8 bits per key-span — tree-merged
+    // partials move KBs, so THAT build runs at full scan width), a
+    // CODES partial is a full BYTE per key-span, and on an
+    // interleaved-key corpus every scan partition spans the whole
+    // range: a 32-way partial tree moves 32 × span bytes (measured
+    // salted_join 0.65 → 1.57 s at x100) and a raw-row repartition
+    // pays the object serializer on every dim row (measured worse
+    // still). The coalesce(8) build — narrow, rows consumed in-task,
+    // ≤8 span-sized partials driver-ward — remains the measured
+    // optimum for this structure; its cost is the dim scan running at
+    // 8 tasks, which the r14/r15 A/Bs price at well under the
+    // alternatives for every dim in the suite.
     val buildPar = math.max(1, math.min(8, pairRdd.getNumPartitions))
     val merged = pairRdd.coalesce(buildPar)
       .mapPartitions(it => buildCodesPartial(it, mcb).map(p => Option(p)))
@@ -726,7 +754,8 @@ object Relational {
     Iterator.single(p)
   }
 
-  /** Driver-side incremental merge for [[denseLookupJoin]] partials:
+  /** Pairwise merge for [[denseLookupJoin]] partials (executors in
+    * the tree level, driver at the root):
     * remaps `b`'s dictionary codes into `a`'s dictionary (extending it,
     * overflow past 127), overlays `b`'s codes at the combined base, and
     * detects cross-partition duplicate keys. */
