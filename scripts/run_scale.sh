@@ -50,6 +50,12 @@ idle_wait
 # (vector/skew/streaming, already measured at the other points) and the
 # two-extra-seq-pass tail attribution are skipped to keep the point's
 # runtime bounded.
+# 64 GiB heap for this point only (disclosed via the artifact's
+# jvm_max_heap_mb key): at 17 GB the denseLookupJoin broadcast-join
+# FALLBACK legitimately builds a ~30 M-row HashedRelation — the 8 GiB
+# default that serves the smaller points OOMs the shared local[32] JVM,
+# which a real cluster would never co-locate on one 8 GiB driver.
+SPARK_DRIVER_MEM=64g \
 SPARK_GRAFT_PROBE_DEGRADE=1 \
 SPARK_GRAFT_EXCLUDE=range_join,contamination,doc_fingerprint,langid_confusion,quality_scores \
 SPARK_GRAFT_SKIP_BLOCKS=vector,skew_join_planted,proximity_count_ab,segmenter_sustained,streaming_state_sustained,tail_attribution \

@@ -1269,7 +1269,7 @@ object Bench {
     // r02 recorded contended concurrent times under the same key).
     val loadAfter = loadSnapshot()
     val headline =
-      s""""value":${"%.3f".format(wallPar)},"unit":"sec","schema_version":8,"wall_par${par}_postwarm_sec":${"%.3f".format(wallPar)},"wall_par${par}_coldplans_sec":${"%.3f".format(wallParCold)},"wall_seq_warm_sec":${"%.3f".format(wallSeq)},"sum_query_sec":${"%.3f".format(good.map(_.sec).sum)},"parallelism":$par,"n_queries":${outSeq.size},"queries_methodology":"seq_warm_par1_min2_min3_top15_and_ge0p8","idle_gate":$gate,"load_before":$loadBefore,"load_after":$loadAfter"""
+      s""""value":${"%.3f".format(wallPar)},"unit":"sec","schema_version":8,"wall_par${par}_postwarm_sec":${"%.3f".format(wallPar)},"wall_par${par}_coldplans_sec":${"%.3f".format(wallParCold)},"wall_seq_warm_sec":${"%.3f".format(wallSeq)},"sum_query_sec":${"%.3f".format(good.map(_.sec).sum)},"parallelism":$par,"n_queries":${outSeq.size},"queries_methodology":"seq_warm_par1_min2_min3_top15_and_ge0p8","jvm_max_heap_mb":${Runtime.getRuntime.maxMemory() >> 20},"idle_gate":$gate,"load_before":$loadBefore,"load_after":$loadAfter"""
     val json =
       s"""{"metric":"total",$headline,"queries":$qs,"errors":$errs,"errors_par_only":$parOnlyErrs,"excluded_queries":$excludedJson,"skipped_blocks":${skippedBlocks.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}$duck$vector$skew$pcAb$scanFloor$dljAb$a6Floor$q3Floor$a8Fixed$probePaths$probeDegrade$tsDecodeAb$joinFloor$segTp$stState$clusterProbe$priorCmp,"sf":"$sfDir"}"""
     Files.writeString(

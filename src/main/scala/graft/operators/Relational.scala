@@ -554,10 +554,11 @@ object Relational {
     * build was a sizing aggregate + a distinct() dictionary job + a
     * fill pass — three jobs, three dim-side scans): each partition
     * grows a local codes array anchored at its own key range and
-    * builds its own insertion-order dictionary; partials merge
-    * through a depth-2 treeReduce (level-1 on executors, r15 — the dim
-    * scan runs at full width), remapping each partial's
-    * dictionary codes into the accumulated dictionary. The driver
+    * builds its own insertion-order dictionary; the driver merges the
+    * ≤8 coalesced partials incrementally, remapping each partial's
+    * dictionary codes into the accumulated dictionary (coalesce kept
+    * over the r15 tree/repartition alternatives by measurement — see
+    * the build site). The driver
     * never holds a dim row, so there is NO key-count driver contract
     * (the span check alone bounds the array), and — single pass — the
     * r13-advisory two-pass hazard (a non-deterministic dim disagreeing
@@ -590,16 +591,8 @@ object Relational {
       fact(factKey).cast("long") === col("_dlj_key")).drop("_dlj_key")
     val dimDf = dim.select(col(keyCol).cast("long").as("k"),
       col(valueCol).as("v")).where(col("k").isNotNull)
-    // ONE distributed job, built at FULL scan parallelism with a
-    // depth-2 treeReduce merge (r15; the r14 coalesce(8) build bounded
-    // merge traffic to 8 × span — at 32 splits on a 60 MB span the
-    // unthrottled form was 1.9 GB of array movement — but it also
-    // dragged the whole dim scan into 8 tasks, ~3-4× the scan wall).
-    // The tree keeps both properties: the scan runs at its natural
-    // width, the P full-width partials move through ONE executor-side
-    // shuffle level (worst case P × span bytes, distributed — the same
-    // 1.9 GB is now an exchange between executors, not a driver
-    // ingest), and the driver receives only ~√P pre-merged arrays.
+    // ONE distributed job (build-shape decision and its A/B numbers
+    // documented at the coalesce below).
     //
     // InternalRow fast path (r14): `df.rdd` converts EVERY dim row to
     // an external GenericRow (allocation + UTF8String→String) just so
