@@ -44,18 +44,19 @@ object PlanDump {
       "only), the query vector inlined as a plan literal, native codegen " +
       "`cosinesimilarity`, and TakeOrderedAndProject — per-partition top-k, " +
       "k-row driver merge, no shuffle."),
-    "q3_shipping" -> ("TPC-H-Q3 shape: selective filters pushed to all three scans " +
-      "(PushedFilters on mktsegment / dates). The customer side attaches " +
-      "no columns — c_custkey is a unique PK, so inner join = semi join — " +
-      "and since r14 it plans as the scan-fused `bitmap_contains` probe " +
-      "inside the orders scan (no serial customer HashedRelation build); " +
-      "only the (orderkey -> date, priority) payload join remains a " +
-      "broadcast, so the lineitem fact is never shuffled before partial " +
-      "aggregation; the only exchange is the group-by, top-10 as " +
-      "TakeOrderedAndProject. ProfileQ3 (r14) prices the stages: ~0.45 s " +
-      "4-col filtered fact scan + ~0.33 s oc chain + broadcast build + " +
-      "agg at the 100x point — the r13 \"3x the bare scan\" residual was " +
-      "the bare floor reading 2 doubles while q3 reads 4 cols and probes."),
+    "q3_shipping" -> ("TPC-H-Q3 shape, ATTACH-AFTER-AGG since r15: selective " +
+      "filters pushed to all three scans, BOTH dim cuts are scan-fused " +
+      "`bitmap_contains` probes (customer -> orders because the unique PK " +
+      "makes inner = semi; qualifying orderkeys -> lineitem because the " +
+      "(date, priority) payload is only needed for the 10 SURVIVING rows), " +
+      "so the fact job is a bare 3-column probe-scan + narrow groupBy on " +
+      "the orders PK + TakeOrdered(10); the payload then attaches by " +
+      "broadcasting the TEN aggregated rows into one cheap orders re-scan " +
+      "— the r14 88.8k-row/12.6 MB oc broadcast and its serial " +
+      "HashedRelation build are gone. The only remaining join operator is " +
+      "that 10-row attach. BENCH's q3_stage_floor prices every stage " +
+      "(bare 4-col filtered scan -> +probe -> +agg/top10 -> full) at " +
+      "every sweep point."),
     "j1_equijoin" -> ("Dense dictionary-lookup join on the reference J1 shape " +
       "(r14): attaching c_mktsegment (5 values) to orders on the dense " +
       "customer PK plans as a codegen `dense_lookup` probe of a " +
@@ -71,9 +72,13 @@ object PlanDump {
     "p3_eq_filter" -> ("Scan-level predicate pushdown: the equality filter reaches " +
       "the parquet reader (PushedFilters), and ReadSchema carries only the " +
       "three projected columns."),
-    "a8_interpolate" -> ("Keyed time-series interpolation: one Exchange on the " +
-      "series key, then every window function rides the same partitioning — " +
-      "thousands of series interpolate in a single shuffle."),
+    "a8_interpolate" -> ("Keyed time-series interpolation, FUSED SPINE since " +
+      "r15: toDailySpine is one lead+explode window pass (each observation " +
+      "emits its gap days up to the next), so the bounds aggregation and " +
+      "the spine left-join are gone — one Exchange on the series key, " +
+      "then the spine AND every interpolation window ride the same " +
+      "partitioning. 4 jobs -> 3 at the 100x point; BENCH's a8_fixed_cost " +
+      "prices the remaining jobs against the no-file job floor."),
     "range_join" -> ("No-equi-key time-proximity COUNT: both sides collapse to " +
       "one row per tolerance bucket (sorted timestamp array / density-" +
       "bounded probe chunks of <=maxProbesPerChunk rows each), " +
