@@ -182,11 +182,24 @@ object Fixtures {
 
   /** The medication table exactly as it ARRIVES from JDBC (Derby
     * standing in for MariaDB with the same Spark arrival types) —
-    * pre-coercion. */
+    * pre-coercion. Memoized PER JVM (r15 advisory): the bench's
+    * timing passes call this on every `s2_mysql_types` execution, and
+    * the old per-call form booted a fresh embedded Derby instance in
+    * a new temp dir each time and never shut one down — instances and
+    * temp dirs accumulated in the long-lived bench JVM. One Derby
+    * boot per JVM; the returned DataFrame is a lazy JDBC scan (each
+    * execution still re-reads through JDBC — only the DATABASE is
+    * shared, and its DDL is fixed, so fixture semantics are
+    * unchanged). */
+  private val medicationUrlCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
   def medicationArrival(spark: SparkSession): DataFrame = {
-    val dir = Files.createTempDirectory("graft_derby_med_").toString
-    val url = graft.sources.JdbcSource.derbyUrl(dir)
-    graft.sources.JdbcSource.execute(url, medicationDdl)
+    val url = medicationUrlCache.getOrElseUpdate("derby", {
+      val dir = Files.createTempDirectory("graft_derby_med_").toString
+      val u = graft.sources.JdbcSource.derbyUrl(dir)
+      graft.sources.JdbcSource.execute(u, medicationDdl)
+      u
+    })
     graft.sources.JdbcSource.readTable(spark, url, "medication")
   }
 

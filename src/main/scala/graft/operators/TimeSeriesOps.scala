@@ -45,6 +45,17 @@ object TimeSeriesOps {
     * global bounds aggregate. */
   def toDailySpine(daily: DataFrame, keys: Seq[String], dayCol: String,
                    valCol: String): DataFrame = {
+    if (keys.isEmpty)
+      // r15 advisory: the fused form's keyless lead window funnels the
+      // whole input through ONE partition (Spark's own 'No Partition
+      // Defined' hazard) — fine for the pre-coalesced bounded inputs
+      // this contract documents (j3 aggregates to one user's calendar
+      // first), wrong for a large keyless input. Loud, not fatal: the
+      // result is still correct, only single-task.
+      System.err.println(
+        "[graft] toDailySpine: keyless spine runs a GLOBAL window " +
+          "(single partition) — pre-aggregate/coalesce a bounded input, " +
+          "or pass keys for a distributed spine")
     val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(dayCol))
     val gapEnd = coalesce(date_sub(lead(col(dayCol), 1).over(byKey), 1),
       col(dayCol))

@@ -91,16 +91,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
-  test("q3 multi-join: bitmap customer semi, ONE payload broadcast, top-10 as TakeOrderedAndProject") {
+  test("q3 attach plan: ten orderkeys PUSHED into the orders scan, one 10-row broadcast, TakeOrderedAndProject") {
+    // r16: the fact pipeline (both bitmap probes + keyed agg + top-10)
+    // runs EAGERLY at construction and its ten rows are collected; the
+    // RETURNED plan is only the attach — an orders scan with the ten
+    // orderkeys pushed down (In → row-group pruning at scale) joined
+    // broadcast to a 10-row LocalRelation. The fact side's probe shape
+    // is pinned separately below via the same probes q3 composes.
     val p = plan("q3_shipping")
-    // r14: the customer side attaches no columns, so it plans as the
-    // scan-fused bitmap probe; only the (orderkey → date, priority)
-    // payload join remains a broadcast hash join
-    assert(p.contains("bitmap_contains"), p.take(2000))
+    assert(p.contains("In(o_orderkey") || p.contains("in(o_orderkey"),
+      s"ten-key attach must push In(o_orderkey,…) into the scan:\n${p.take(2000)}")
     assert("BroadcastHashJoin".r.findAllIn(p).length == 1, p.take(2000))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
-    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
-      p.contains("GreaterThan(l_shipdate"), p.take(2000))
+    assert(!p.contains("lineitem"),
+      s"the attach plan must not re-run the fact side:\n${p.take(2000)}")
+    // the fact side q3 composes: bitmap probe fused into the lineitem
+    // scan with the shipdate filter still pushed down
+    val c = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("date"))
+    val l = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("date"))
+    val ocKeys = graft.operators.Relational
+      .bitmapSemiJoin(o, c, "o_custkey", "c_custkey").select("o_orderkey")
+    val factPlan = graft.operators.Relational
+      .bitmapSemiJoin(l, ocKeys, "l_orderkey", "o_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(factPlan.contains("bitmap_contains"), factPlan.take(2000))
+    assert(!factPlan.contains("Join"),
+      s"fact cut must be scan-fused, join-free:\n${factPlan.take(2000)}")
+    assert(factPlan.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      factPlan.contains("GreaterThan(l_shipdate"), factPlan.take(2000))
   }
 
   test("a8 interpolation: all window passes share one hash partitioning on the series key") {
