@@ -14,6 +14,12 @@ import duckdb
 src, dst, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
 os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
+# stream the COPY instead of materializing the replicated table in
+# memory first: the ordered COPY of the 600 M-row lineitem buffered
+# ~100 GB before writing a byte (r16). Replica order is irrelevant to
+# every consumer — the correctness compare sorts, the bench scans.
+con.execute("SET preserve_insertion_order = false")
+con.execute("SET memory_limit = '32GB'")
 
 def mx(table, col):
     return con.execute(
@@ -48,20 +54,37 @@ plans = {
 
 for table, repl in plans.items():
     out = f"{dst}/{table}.parquet"
+    src_rows = con.execute(
+        f"SELECT count(*) FROM read_parquet('{src}/{table}.parquet')"
+    ).fetchone()[0]
     if repl is None:
         q = f"SELECT * FROM read_parquet('{src}/{table}.parquet')"
+        total = src_rows
     else:
         q = (f"SELECT s.* REPLACE ({repl}) "
              f"FROM read_parquet('{src}/{table}.parquet') s "
              f"CROSS JOIN range({n}) t(i)")
-    # 20k-row groups: row groups are the atomic split unit for every
-    # parquet reader, and DuckDB's default 122,880-row groups leave the
-    # highly-compressible replicated text tables as a handful of groups
-    # (documents at 100x: 4.5 MB / 5 groups -> a 2-3-task scan on 32
-    # cores). Smaller groups let BOTH engines parallelize the scan —
-    # this is the "write your tables with sane row groups" remedy, not
-    # a Spark-side tilt.
-    con.execute(f"COPY ({q}) TO '{out}' (FORMAT PARQUET, ROW_GROUP_SIZE 20000)")
-    rows = con.execute(f"SELECT count(*) FROM read_parquet('{out}')").fetchone()[0]
-    print(f"{table}: {rows} rows", file=sys.stderr)
+        total = src_rows * n
+    # Row-group sizing (r16, replacing the blanket ROW_GROUP_SIZE
+    # 20000): row groups are the atomic split unit for every parquet
+    # reader, so SMALL tables still get small groups — DuckDB's default
+    # 122,880-row groups left the highly-compressible replicated text
+    # tables as a handful of groups (documents at 100x: 4.5 MB /
+    # 5 groups -> a 2-3-task scan on 32 cores). But a fixed 20k on the
+    # 600 M-row lineitem wrote ~30,000 row groups into ONE 11 GB file,
+    # and Spark's per-split footer parse (full-footer thrift, once per
+    # input split) collapsed the x1000 scan floor to 223 MB/s / 18.8x
+    # DuckDB (r15 weak set; root-caused by graft.ProfileScanFloor's
+    # layout A/B in SCANFLOOR.json). Production rule: target >=256 row
+    # groups per table for parallelism, clamp to [20k, 122,880] rows,
+    # and cap files at 512 MB so no footer ever describes more than a
+    # few hundred row groups. The old layout is kept as a disclosed
+    # adversarial probe by gen_layouts.py, not as the benchmark corpus.
+    rg = max(20000, min(122880, total // 256))
+    con.execute(f"COPY ({q}) TO '{out}' (FORMAT PARQUET, ROW_GROUP_SIZE {rg}, "
+                f"FILE_SIZE_BYTES '512MB')")
+    rows = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/*.parquet')").fetchone()[0]
+    nf = len(os.listdir(out))
+    print(f"{table}: {rows} rows, rg={rg}, files={nf}", file=sys.stderr)
 print(f"wrote {dst} at {n}x {src}", file=sys.stderr)

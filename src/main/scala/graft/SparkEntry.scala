@@ -454,24 +454,28 @@ object SparkEntry {
       // last-touch attribution). One shuffle on user_id via the
       // union+running-window shape; the oracle recomputes it with
       // DuckDB's native ASOF LEFT JOIN — a cross-algorithm check.
+      // Both sides are the SAME events table, so the fused single-
+      // source form applies: ONE scan (event_type ∈ {purchase, click}
+      // and user_id < 4 push down as one disjunction-free filter),
+      // ONE shuffle on user_id, and the click side's (user, ts)
+      // max(event_id) pre-aggregation folds into the window tie-break
+      // instead of costing its own shuffle. The r14 two-table form
+      // (asof(purchases, clicks, …) with a groupBy'd right side)
+      // scanned events twice — at the 100× point those two scans WERE
+      // the 3.3× residual (r15 weak set). The user_id < 4 cut stays
+      // on both sides for the same reason as before: it is the
+      // equi-key constraint a native as-of node would propagate
+      // (21× DuckDB without it, r6 audit).
       val ev = t(s, d, "events")
-      val purchases = ev.filter(col("event_type") === "purchase" && col("user_id") < 4)
-        .select(col("event_id"), col("user_id"), col("ts"))
-      // right side made unique per (user, ts): ambiguous as-of inputs
-      // are pre-aggregated, not tie-broken silently. The user_id < 4
-      // cut is applied on THIS side too: it is the equi-key constraint
-      // a native as-of join node would let Catalyst propagate from the
-      // left filter (DuckDB's optimizer does exactly this through its
-      // ASOF JOIN in the oracle) — the union+window formulation hides
-      // the join equality, so without it the window aggregated every
-      // user's clicks to attribute four users' purchases (21× DuckDB
-      // at the 100× point, r6 audit).
-      val clicks = ev.filter(col("event_type") === "click" && col("user_id") < 4)
-        .groupBy(col("user_id"), col("ts").as("c_ts"))
-        .agg(max(col("event_id")).as("click_id"))
-      operators.TemporalJoin.asof(purchases, clicks,
-          keys = Seq("user_id"), lTs = "ts", rTs = "c_ts",
-          rPayload = Seq("click_id", "c_ts"))
+        .filter(col("user_id") < 4 &&
+          col("event_type").isin("purchase", "click"))
+      operators.TemporalJoin.asofFused(ev,
+          isLeft = col("event_type") === "purchase",
+          isRight = col("event_type") === "click",
+          keys = Seq("user_id"), ts = col("ts"),
+          lPayload = Seq("event_id" -> col("event_id"), "ts" -> col("ts")),
+          rPayload = Seq("click_id" -> col("event_id"), "c_ts" -> col("ts")),
+          rTieBreak = Seq(col("event_id")))
         .select(col("event_id"), col("user_id"), col("click_id"),
           expr("(unix_micros(ts) - unix_micros(c_ts)) div 1000000").as("lag_s"))
         .orderBy("event_id")

@@ -419,6 +419,23 @@ object Relational {
         "sides beyond driver memory use bloomSemiJoin (distributed " +
         "build) or a plain shuffle semi join")
 
+  /** Sorts `a[0, n)` and compacts it to distinct values in place;
+    * returns the distinct count. Guard-path helper: the maxKeys
+    * contract is on DISTINCT keys, but the sparse buffers append
+    * per OCCURRENCE (r16 audit — a duplicate-heavy key side tripped
+    * the guard, and [[mergeKeyPartials]] could trip it on keys shared
+    * across partitions, degrading to bloom well before the contract
+    * was actually exceeded). */
+  private def compactDistinct(a: Array[Long], n: Int): Int = {
+    java.util.Arrays.sort(a, 0, n)
+    var w = 0; var i = 0
+    while (i < n) {
+      if (w == 0 || a(i) != a(w - 1)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    w
+  }
+
   /** One-pass per-partition builder: starts dense (bitset anchored at
     * the first key's aligned base, geometric regrow), degrades to an
     * exact sparse key buffer the moment the LOCAL span exceeds
@@ -435,7 +452,22 @@ object Relational {
     var words: Array[Long] = null
     var sk: Array[Long] = null; var skN = 0
     def addSparse(k: Long): Unit = {
-      if (skN >= maxKeys) sparseGuardError(maxKeys)
+      if (skN >= maxKeys) {
+        // occurrence cap hit — dedup in place before declaring
+        // overflow (the guard contract is on DISTINCT keys; a
+        // duplicate key appended per occurrence must not count
+        // against it). The free-slot floor keeps an adversarial
+        // near-full distinct set from re-sorting per append: when a
+        // compaction frees fewer than ~maxKeys/16 slots the buffer is
+        // treated as full, so the guard may fire up to 6.25% early on
+        // duplicate-triggering streams — documented, loud, and the
+        // auto-degrade rung (bloomSemiJoin) stays exact either way.
+        val d = compactDistinct(sk, skN)
+        val floor = math.min(math.max(16, maxKeys >>> 4),
+          math.max(1, maxKeys >>> 2))
+        if (maxKeys - d < floor) sparseGuardError(maxKeys)
+        skN = d
+      }
       if (skN == sk.length) sk = java.util.Arrays.copyOf(sk,
         math.min(maxKeys, math.max(16, sk.length * 2)))
       sk(skN) = k; skN += 1
@@ -519,8 +551,18 @@ object Relational {
       BitsPartial(cnt, cmn, cmx, rb, rw)
     } else {
       val ka = partialKeys(a); val kb = partialKeys(b)
-      if (ka.length.toLong + kb.length > maxKeys) sparseGuardError(maxKeys)
-      KeysPartial(cnt, cmn, cmx, ka ++ kb)
+      if (ka.length.toLong + kb.length > maxKeys) {
+        // partials from different partitions can carry the SAME key
+        // (and a sparse partial may hold per-occurrence duplicates) —
+        // dedup the union before declaring overflow (r16 audit). The
+        // combined length is ≤ 2·maxKeys ≤ 2^30, Int-safe.
+        val u = new Array[Long](ka.length + kb.length)
+        System.arraycopy(ka, 0, u, 0, ka.length)
+        System.arraycopy(kb, 0, u, ka.length, kb.length)
+        val d = compactDistinct(u, u.length)
+        if (d > maxKeys) sparseGuardError(maxKeys)
+        KeysPartial(cnt, cmn, cmx, java.util.Arrays.copyOf(u, d))
+      } else KeysPartial(cnt, cmn, cmx, ka ++ kb)
     }
   }
 

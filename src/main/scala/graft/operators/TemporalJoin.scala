@@ -77,6 +77,55 @@ object TemporalJoin {
           rPayload.map(c => col("_rp").getField(c).as(c)): _*)
   }
 
+  /** [[asof]] for the common case where BOTH sides are predicates
+    * over ONE source (last-touch attribution, event-to-event
+    * alignment): the two-table formulation scans the source twice and
+    * pays a pre-aggregation shuffle to make the right side unique,
+    * while the union+window shape never needed two inputs at all —
+    * the union IS the source. One scan (both predicates and the key
+    * filters push into it as a single disjunction), one shuffle on
+    * the keys, and the right-side uniqueness contract is replaced by
+    * an explicit `rTieBreak`: among right rows with equal (keys, ts)
+    * the LAST in ascending tie-break order wins — e.g. a
+    * `max(event_id)` pre-aggregation becomes `rTieBreak =
+    * Seq(col("event_id"))` with no shuffle. At the 100× bench point
+    * the two-table form's wall was two events scans + the pre-agg;
+    * this form halves the scan bytes and deletes the shuffle.
+    *
+    * `isLeft` and `isRight` must be DISJOINT (a row satisfying both
+    * would have to act as its own match candidate — model that
+    * explicitly with [[asof]]). Payloads are (name, expression) pairs
+    * evaluated on the source row.
+    */
+  def asofFused(src: DataFrame, isLeft: Column, isRight: Column,
+                keys: Seq[String], ts: Column,
+                lPayload: Seq[(String, Column)],
+                rPayload: Seq[(String, Column)],
+                rTieBreak: Seq[Column] = Nil): DataFrame = {
+    val lCols = lPayload.map { case (n, c) => c.as(n) }
+    val tagged = src
+      .filter(isLeft || isRight)
+      .select(
+        keys.map(col) ++
+          Seq(ts.as("_t"), when(isLeft, 1).otherwise(0).as("_side"),
+            when(isRight, struct(rPayload.map { case (n, c) => c.as(n) }: _*))
+              .as("_rp")) ++
+          lCols ++ rTieBreak.zipWithIndex.map { case (c, i) => c.as(s"_tb$i") }: _*)
+    // right rows sort BEFORE left rows at equal ts (tie = match), and
+    // among equal-(keys, ts) right rows the tie-break puts the winner
+    // LAST so the running `last` picks it. The payload travels as one
+    // struct for the same row-coherence reason as [[asof]].
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t") +: col("_side") +: rTieBreak.indices.map(i => col(s"_tb$i")): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("_rp", last(col("_rp"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(
+        keys.map(col) ++ lPayload.map { case (n, _) => col(n) } ++
+          rPayload.map { case (n, _) => col("_rp").getField(n).as(n) }: _*)
+  }
+
   /** Temporal proximity join: every (left, right) pair with
     * `|lTs - rTs| <= tolSec` — a range join with NO equi key, which
     * naively is a cross join. The scalable shape: bucket time into

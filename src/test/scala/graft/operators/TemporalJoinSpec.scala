@@ -115,4 +115,58 @@ class TemporalJoinSpec extends SparkSpec {
       .select("n_matches").as[Long].head()
     assert(n == 3L) // -tol, +tol, same-instant; the two 1us-outside miss
   }
+
+  test("asofFused equals the two-table asof (+ brute force) on a seeded event stream, incl. ties") {
+    // a single-source stream of 'purchase' and 'click' rows per user,
+    // timestamps drawn from a SMALL grid so exact-tie cases (click at
+    // the same instant as a purchase; multiple clicks at one instant)
+    // occur by construction. The two-table form pre-aggregates the
+    // click side to max(event_id) per (user, ts); the fused form
+    // expresses the same winner via rTieBreak = event_id — equality
+    // across all three implementations pins the tie semantics.
+    val rnd = new scala.util.Random(7)
+    val base = 1700000000000000L
+    val rows = (0L until 400L).map { i =>
+      (i, rnd.nextInt(4).toLong,
+        base + rnd.nextInt(40) * 1000000L, // 40-slot grid → many ties
+        if (rnd.nextBoolean()) "purchase" else "click")
+    }
+    val ev = rows.toDF("event_id", "user_id", "_us", "event_type")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("_us")).as("ts"), col("event_type"))
+
+    val fused = TemporalJoin.asofFused(ev,
+        isLeft = col("event_type") === "purchase",
+        isRight = col("event_type") === "click",
+        keys = Seq("user_id"), ts = col("ts"),
+        lPayload = Seq("event_id" -> col("event_id")),
+        rPayload = Seq("click_id" -> col("event_id"), "c_ts" -> col("ts")),
+        rTieBreak = Seq(col("event_id")))
+      .select(col("event_id"), col("click_id"))
+      .as[(Long, Option[Long])].collect().toMap
+
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("c_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val twoTable = TemporalJoin.asof(purchases, clicks,
+        keys = Seq("user_id"), lTs = "ts", rTs = "c_ts",
+        rPayload = Seq("click_id"))
+      .select(col("event_id"), col("click_id"))
+      .as[(Long, Option[Long])].collect().toMap
+
+    // brute force over the raw tuples
+    val brute = rows.filter(_._4 == "purchase").map { case (id, u, us, _) =>
+      val cand = rows.filter(r => r._4 == "click" && r._2 == u && r._3 <= us)
+      id -> (if (cand.isEmpty) None
+             else Some(cand.filter(_._3 == cand.map(_._3).max).map(_._1).max))
+    }.toMap
+
+    assert(fused.size == brute.size)
+    brute.foreach { case (id, exp) =>
+      assert(fused(id) == exp, s"fused event $id")
+      assert(twoTable(id) == exp, s"two-table event $id")
+    }
+  }
 }
