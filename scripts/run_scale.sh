@@ -39,23 +39,27 @@ SPARK_GRAFT_CLUSTER_PROBE=1 run_point /tmp/scale/x100 /tmp/scale/bench_x100.json
 idle_wait
 # x1000 (~17 GB, r15): the point where the dense probe contracts BREAK
 # on purpose — the 150 M-key orders span exceeds denseLookupJoin's
-# maxCodesBytes, so salted_join/dense_lookup_ab run the broadcast-join
+# maxCodesBytes, so salted_join/dense_lookup_ab run the out-of-contract
 # fallback for real (probe_paths discloses which plan each probe query
-# took), and SPARK_GRAFT_PROBE_DEGRADE exercises the dense->sparse->
-# bloom degradation chain of bitmapSemiJoin on the real 30 M-key urgent
-# set with count-equality asserted. REDUCED suite, disclosed
-# in-artifact: range_join's pair enumeration grows ~min(N,30)*N (hours
-# in DuckDB here) and the four r4 lambda-heavy oracles are
-# interpreter-bound over 5 M docs; scale-independent extra blocks
-# (vector/skew/streaming, already measured at the other points) and the
-# two-extra-seq-pass tail attribution are skipped to keep the point's
-# runtime bounded.
-# 64 GiB heap for this point only (disclosed via the artifact's
-# jvm_max_heap_mb key): at 17 GB the denseLookupJoin broadcast-join
-# FALLBACK legitimately builds a ~30 M-row HashedRelation — the 8 GiB
-# default that serves the smaller points OOMs the shared local[32] JVM,
-# which a real cluster would never co-locate on one 8 GiB driver.
-SPARK_DRIVER_MEM=64g \
+# took; since the r16 budget it should read shuffle_hash_fallback, not
+# broadcast_join_fallback), and SPARK_GRAFT_PROBE_DEGRADE exercises the
+# dense->sparse->bloom degradation chain of bitmapSemiJoin on the real
+# 30 M-key urgent set with count-equality asserted. REDUCED suite,
+# disclosed in-artifact: range_join's pair enumeration grows
+# ~min(N,30)*N (hours in DuckDB here) and the four r4 lambda-heavy
+# oracles are interpreter-bound over 5 M docs; scale-independent extra
+# blocks (vector/skew/streaming, already measured at the other points)
+# and the two-extra-seq-pass tail attribution are skipped to keep the
+# point's runtime bounded.
+# 32 GiB heap for this point only (disclosed via the artifact's
+# jvm_max_heap_mb key): r15 needed 64 GiB to survive the then-
+# unbudgeted fallback's 3.2 GB / 30 M-row driver-built HashedRelation;
+# with the r16 SHUFFLE_HASH budget that build is a partitioned
+# executor-side hash table (~1 M rows per task at 32 partitions), and
+# the remaining headroom is for the shared local[32] JVM running scans,
+# shuffles, and the DuckDB-comparable page cache in one heap — a real
+# cluster spreads this across executors.
+SPARK_DRIVER_MEM=32g \
 SPARK_GRAFT_PROBE_DEGRADE=1 \
 SPARK_GRAFT_EXCLUDE=range_join,contamination,doc_fingerprint,langid_confusion,quality_scores \
 SPARK_GRAFT_SKIP_BLOCKS=vector,skew_join_planted,proximity_count_ab,segmenter_sustained,streaming_state_sustained,tail_attribution \
