@@ -814,17 +814,25 @@ object SparkEntry {
   /** Time-series pipeline ops (A8 interpolation, A15 trend reduce). */
   private val timeSeries: Map[String, Q] = Map(
     "a8_interpolate" -> ((s, d) => {
-      // TWO exchanges total (PlanSpec pin): the map-side-combined
-      // daily agg, then ONE repartition on the series key that the
-      // fused spine (toDailySpine's lead+explode form, r15 — no bounds
-      // agg, no spine join) and every interpolation window pass all
-      // share. The r14 shape paid 4 jobs at x100 (bounds-agg exchange
-      // + spine-join broadcast on top of these two); the fusion
-      // deletes both. Output is bounded (20 users × calendar days) →
+      // ONE exchange total (PlanSpec pin, r16 — was two): the
+      // repartition on the series key comes BEFORE the daily agg, and
+      // HashPartitioning(user_id) satisfies the aggregation's
+      // ClusteredDistribution(user_id, day) — a subset partitioning
+      // clusters every (user, day) group — so the agg, the fused
+      // spine (toDailySpine's lead+explode form, r15), and every
+      // interpolation window pass all ride the SAME exchange. The
+      // trade: the agg's map-side combine now runs after the shuffle,
+      // so the raw filtered rows ship instead of partials — here the
+      // purchase × user_id<20 filter already cut ~99.5% of the scan,
+      // and the same subset trick is load-bearing in proximityCount.
+      // r14 paid 4 jobs at x100 (bounds-agg + spine-join on top);
+      // r15's fusion made it 3; this makes it 2 (scan+exchange,
+      // final stage). Output is bounded (20 users × calendar days) →
       // orderedSmall replaces the global range sort and its
       // boundary-sampling job (r9 judge item #4).
       val daily = t(s, d, "events")
         .filter(col("event_type") === "purchase" && col("user_id") < 20)
+        .repartition(col("user_id"))
         .groupBy(col("user_id"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).cast("double").as("v"))
       val spine = TimeSeriesOps.toDailySpine(daily, Seq("user_id"), "day", "v")

@@ -125,11 +125,15 @@ class PlanSpec extends SparkSpec {
       factPlan.contains("GreaterThan(l_shipdate"), factPlan.take(2000))
   }
 
-  test("a8 interpolation: all window passes share one hash partitioning on the series key") {
+  test("a8 interpolation: agg, spine, and all window passes share ONE hash partitioning on the series key") {
+    // r16: the pre-agg repartition on user_id satisfies the daily
+    // aggregation's clustered distribution (subset partitioning), so
+    // the whole chain — agg, fused spine, interpolation windows —
+    // runs on a single exchange
     val p = plan("a8_interpolate")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges <= 2,
-      s"expected the windows to reuse the keyed partitioning ($exchanges exchanges):\n" +
+    assert(exchanges <= 1,
+      s"expected ONE shared keyed exchange ($exchanges exchanges):\n" +
         p.take(3000))
   }
 
