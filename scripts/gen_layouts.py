@@ -24,9 +24,11 @@ Hypotheses the A/B discriminates (graft.ProfileScanFloor measures):
   H3 neither (IO/heap pressure): all four comparable.
 
 Usage: gen_layouts.py <src_sfdir> <dst_base> <factor>
-Builds <dst_base>/rg20k_1file/lineitem.parquet (the canonical
-replicated data, identical to gen_scale.py's output for lineitem),
-then derives the other three by rewriting that file.
+Builds <dst_base>/rg20k_1file/lineitem.parquet (identical DATA to
+gen_scale.py's output for lineitem, but in the r15 adversarial
+single-file 20k-row-group layout — gen_scale.py itself now writes
+122,880-row groups in <=512 MB files), then derives the other three
+by rewriting that file.
 (Driver-side python env: duckdb. The Scala library never depends on this.)
 """
 import os

@@ -229,6 +229,17 @@ object Bench {
       if (code == 0 && out.startsWith("{")) Some(out) else None
     } catch { case _: Throwable => None }
 
+  /** Current repo HEAD, for sweep-staleness checks. None outside a
+    * checkout or when git is unavailable — callers degrade to "stale".
+    */
+  private def gitHead(): Option[String] = try {
+    val pr = new ProcessBuilder("git", "rev-parse", "HEAD")
+      .redirectErrorStream(true).start()
+    val out = new String(pr.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    if (pr.waitFor() == 0 && out.matches("[0-9a-f]{40}")) Some(out) else None
+  } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -270,7 +281,35 @@ object Bench {
     // sequential queries 2-3× — let it decay before the per-query
     // numbers are taken
     awaitCalm(maxLoad = 2.0, budgetSec = 240)
-    val (wallSeq, outSeq1) = timeSuite(spark, sfDir, 1, heavy)
+    // count Spark jobs across the warm seq pass: n_jobs × the no-file
+    // job floor prices the suite's pure scheduler/JVM fixed cost, so a
+    // round-over-round uniform drift separates into "job floor moved"
+    // (environment/JVM regression) vs "job count moved" (plan
+    // regression) vs neither (per-query work). r16 judge item #4: the
+    // +34% seq drift was near-uniform across unrelated queries and
+    // nothing in the artifact could attribute it.
+    val suiteJobs = new java.util.concurrent.atomic.AtomicInteger()
+    val suiteJobListener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        suiteJobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(suiteJobListener)
+    val (wallSeq, outSeq1) =
+      try timeSuite(spark, sfDir, 1, heavy)
+      finally {
+        try {
+          val sc = spark.sparkContext
+          val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+          bus.getClass.getMethods.filter(_.getName == "waitUntilEmpty")
+            .sortBy(_.getParameterCount).headOption.foreach { m =>
+              if (m.getParameterCount == 0) m.invoke(bus)
+              else m.invoke(bus, java.lang.Long.valueOf(10000L))
+            }
+        } catch { case _: Throwable => Thread.sleep(300) }
+        spark.sparkContext.removeSparkListener(suiteJobListener)
+      }
+    val suiteJobsSeq = suiteJobs.get()
     val (_, outSeq2) = timeSuite(spark, sfDir, 1, heavy)
     val seq2 = outSeq2.map(o => o.name -> o).toMap
     val outSeqMin2 = outSeq1.map { r =>
@@ -678,7 +717,22 @@ object Bench {
         count(col("l_linestatus")))
       val bare7 = timed3(li.agg(with7.head, with7.tail: _*))
       val grouped = timed3(SparkEntry.queries("a6_pricing_summary")(spark, sfDir))
-      s""","a6_floor_ab":{"bare_5col_scan_s":${"%.3f".format(bare5)},"bare_7col_scan_s":${"%.3f".format(bare7)},"grouped_a6_s":${"%.3f".format(grouped)},"group_agg_overhead_s":${"%.3f".format(grouped - bare7)},"group_col_decode_s":${"%.3f".format(bare7 - bare5)},"verdict":"a6 adds ${"%.3f".format(grouped - bare7)} s over its own bare 7-col scan — ${if (grouped - bare7 <= 0.2 * grouped) "floor-certified: the 6-group HashAggregate runs at scan speed; the DuckDB gap is the lineitem7 scan_floor ratio" else "the grouped agg adds materially over the scan — plan headroom remains"}"}"""
+      // r17: the "dictionary-code the group columns" candidate fix,
+      // measured in-artifact. Packing the two 1-char strings into one
+      // int key (ascii*256+ascii) measured ~1.2x SLOWER than the
+      // committed string keys at sf0.1 (ProfileAdhoc: 0.417 vs 0.346
+      // min-of-5) — the string-key 6-group HashAggregate already takes
+      // the generated fast-hash-map path, and the packing adds two
+      // per-row ascii() calls for nothing. Kept here so the rejected
+      // alternative stays priced at every point.
+      val groupedInt = timed3 {
+        li.groupBy((ascii(col("l_returnflag")) * 256 +
+            ascii(col("l_linestatus"))).as("_code"))
+          .agg(sum("l_quantity"), sum("l_extendedprice"),
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+            avg("l_quantity"), avg("l_extendedprice"), count(lit(1)))
+      }
+      s""","a6_floor_ab":{"bare_5col_scan_s":${"%.3f".format(bare5)},"bare_7col_scan_s":${"%.3f".format(bare7)},"grouped_a6_s":${"%.3f".format(grouped)},"grouped_packed_intkey_s":${"%.3f".format(groupedInt)},"group_agg_overhead_s":${"%.3f".format(grouped - bare7)},"group_col_decode_s":${"%.3f".format(bare7 - bare5)},"verdict":"a6 adds ${"%.3f".format(grouped - bare7)} s over its own bare 7-col scan — ${if (grouped - bare7 <= 0.2 * grouped) "floor-certified: the 6-group HashAggregate runs at scan speed; the DuckDB gap is the lineitem7 scan_floor ratio" else "the grouped agg adds materially over the scan — plan headroom remains"}; packed-int-key alternative ${if (groupedInt < grouped) "faster — revisit" else "not faster (rejected r17 A/B)"}"}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] a6 floor A/B FAILED: ${e.getMessage}"); ""
     }
@@ -820,6 +874,29 @@ object Bench {
       s""","a8_fixed_cost":{"jobs":$n,"job_floor_s":${"%.3f".format(jobFloor)},"priced_fixed_s":${"%.3f".format(n * jobFloor)},"wall_s":${"%.3f".format(wall)},"note":"r15 spine fusion: lead+explode replaces bounds-agg + spine-join (4 jobs -> $n); the priced fixed cost is jobs x the no-file job floor"}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] a8 fixed-cost FAILED: ${e.getMessage}"); ""
+    }
+
+    // Suite-level fixed-cost pricing (r16 judge item #4): the warm seq
+    // pass's total job count × the no-file job floor is the suite's
+    // scheduler/JVM fixed cost. A uniform round-over-round drift with
+    // an unchanged job count and a moved job floor is an environment
+    // regression; a moved job count names a plan regression; neither
+    // puts the drift in per-query work (or host noise — compare
+    // against the sweep point's same-HEAD wall).
+    val suiteFixedCost = try {
+      import org.apache.spark.sql.functions._
+      def once = {
+        val t0 = System.nanoTime()
+        spark.range(10000000L).agg(sum("id"))
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once
+      val jobFloor = (1 to 3).map(_ => once).min
+      val priced = suiteJobsSeq * jobFloor
+      s""","suite_fixed_cost":{"jobs_seq_pass":$suiteJobsSeq,"job_floor_s":${"%.4f".format(jobFloor)},"priced_fixed_s":${"%.3f".format(priced)},"wall_seq_warm_s":${"%.3f".format(wallSeq)},"fixed_share_of_wall":${"%.2f".format(priced / math.max(wallSeq, 1e-9))},"note":"jobs counted across the committed warm PAR=1 pass; floor is a min-of-3 no-file range-sum job"}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] suite fixed-cost FAILED: ${e.getMessage}"); ""
     }
 
     // Probe-path disclosure (r14 judge item #1 supporting evidence):
@@ -1296,12 +1373,18 @@ object Bench {
             // artifact caught. When BENCH_SCALE.json is present and
             // carries a point for this sfDir, both deltas ride
             // together with an explicit sign-agreement flag.
-            val sweepSeq: Option[Double] = try {
+            val sweepSeq: Option[(Double, Option[String])] = try {
               val sp = Paths.get("BENCH_SCALE.json")
               if (!Files.exists(sp)) None else {
                 val node = new com.fasterxml.jackson.databind.ObjectMapper()
                   .readTree(Files.readString(sp))
                 import scala.jdk.CollectionConverters._
+                // the sweep artifact's git HEAD (r16 judge: the
+                // "same-HEAD" cross-check silently compared this
+                // round's run against LAST round's sweep because
+                // nothing recorded which code the sweep measured)
+                val swHead = Option(node.get("head")).map(_.asText())
+                  .filter(_.nonEmpty)
                 // exact-prefix match (r15 advisory): every sweep label
                 // ('10x sf0.1 …', '100x sf0.1 …') CONTAINS "sf0.1" —
                 // the driver-scale point is the one whose label STARTS
@@ -1315,6 +1398,7 @@ object Bench {
                   })
                   .flatMap(p => Option(p.get("spark_wall_seq_warm_sec"))
                     .map(_.asDouble()))
+                  .map(v => (v, swHead))
               }
             } catch { case _: Throwable => None }
             // Real-oracle-subset decomposition (r15 judge item #5): the
@@ -1325,54 +1409,94 @@ object Bench {
             // both rounds, plus the composition delta (members only in
             // one round), so engine drift separates from composition
             // and from oracle-side speedups.
+            // Prior FULL per-query maps: the committed BENCH_r{N}.json
+            // is the driver's bounded tail-window wrapper — it carries
+            // only the compact top-15 line and no per-query duckdb
+            // map, which is why the r16 decomposition silently emitted
+            // nothing (readTree over the raw log tail threw, and the
+            // error went to stderr instead of the artifact). The full
+            // maps live in committed bench_history/BENCH_FULL_r{N}
+            // .json; every sf0.1 run also refreshes
+            // bench_history/BENCH_FULL_latest.json. Failures now land
+            // IN the artifact as subset_decomposition_error.
+            def jesc(s: String): String =
+              s.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300)
             val subsetCmp: String = subsetThis.map { case (sparkPer, duckPer, both) =>
               try {
-                val node = new com.fasterxml.jackson.databind.ObjectMapper()
-                  .readTree(txt)
                 import scala.jdk.CollectionConverters._
-                def qmap(n: com.fasterxml.jackson.databind.JsonNode)
-                  : Map[String, Double] =
-                  n.properties().asScala
-                    .filter(_.getValue.isNumber)
-                    .map(e => e.getKey -> e.getValue.asDouble()).toMap
-                val pSpark = Option(node.get("queries")).map(qmap)
-                  .getOrElse(Map.empty[String, Double])
-                val pDuckQ = Option(node.get("duckdb_oracle"))
-                  .flatMap(d => Option(d.get("queries"))).map(qmap)
-                  .getOrElse(Map.empty[String, Double])
-                val pRatio = Option(node.get("real_oracle_subset"))
-                  .flatMap(r => Option(r.get("ratio"))).map(_.asDouble())
-                val common = both.filter(n =>
-                  pSpark.contains(n) && pDuckQ.contains(n)).toSeq.sorted
-                val addedM = (both -- common.toSet).toSeq.sorted
-                val sDelta = common.map(n => sparkPer(n) - pSpark(n)).sum
-                val dDelta = common.map(n => duckPer(n) - pDuckQ(n)).sum
-                val movers = common
-                  .map(n => (n, sparkPer(n) - pSpark(n), duckPer(n) - pDuckQ(n)))
-                  .sortBy { case (_, sd, dd) => -(math.abs(sd) + math.abs(dd)) }
-                  .take(8)
-                  .map { case (n, sd, dd) =>
-                    s""""$n":{"spark_prior_s":${"%.3f".format(pSpark(n))},"spark_this_s":${"%.3f".format(sparkPer(n))},"spark_delta_s":${"%.3f".format(sd)},"duckdb_prior_s":${"%.3f".format(pDuckQ(n))},"duckdb_this_s":${"%.3f".format(duckPer(n))},"duckdb_delta_s":${"%.3f".format(dd)}}"""
-                  }.mkString("{", ",", "}")
-                val thisRatioStr =
-                  "\"ratio\"\\s*:\\s*([0-9.]+)".r
-                    .findFirstMatchIn(subsetSummary).map(_.group(1))
-                    .getOrElse("null")
-                s""","subset_decomposition":{"prior_subset_ratio":${pRatio.map("%.2f".format(_)).getOrElse("null")},"this_subset_ratio":$thisRatioStr,"common_n":${common.size},"members_added_this_round":${addedM.map("\"" + _ + "\"").mkString("[", ",", "]")},"common_spark_delta_sum_s":${"%.3f".format(sDelta)},"common_duckdb_delta_sum_s":${"%.3f".format(dDelta)},"top_movers":$movers,"note":"deltas over members present in BOTH rounds; members_added plus duckdb-side deltas are the composition/oracle share of a subset-ratio move"}"""
+                val histDir = Paths.get("bench_history")
+                val prior =
+                  if (!Files.isDirectory(histDir)) None
+                  else {
+                    val st = Files.list(histDir)
+                    try st.iterator().asScala.flatMap { p =>
+                      "BENCH_FULL_r(\\d+)\\.json".r
+                        .findFirstMatchIn(p.getFileName.toString)
+                        .map(m => (m.group(1).toInt, p))
+                    }.toSeq.sortBy(-_._1).headOption
+                    finally st.close()
+                  }
+                prior match {
+                  case None =>
+                    s""","subset_decomposition_error":"no bench_history/BENCH_FULL_r*.json prior with full per-query maps; this run writes bench_history/BENCH_FULL_latest.json — name it BENCH_FULL_r{N}.json and commit it""""
+                  case Some((prn, path)) =>
+                    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+                      .readTree(Files.readString(path))
+                    def qmap(n: com.fasterxml.jackson.databind.JsonNode)
+                      : Map[String, Double] =
+                      n.properties().asScala
+                        .filter(_.getValue.isNumber)
+                        .map(e => e.getKey -> e.getValue.asDouble()).toMap
+                    val pSpark = Option(node.get("queries")).map(qmap)
+                      .getOrElse(Map.empty[String, Double])
+                    val pDuckQ = Option(node.get("duckdb_oracle"))
+                      .flatMap(d => Option(d.get("queries"))).map(qmap)
+                      .getOrElse(Map.empty[String, Double])
+                    val pRatio = Option(node.get("real_oracle_subset"))
+                      .flatMap(r => Option(r.get("ratio"))).map(_.asDouble())
+                    if (pSpark.size < 20 || pDuckQ.size < 20)
+                      s""","subset_decomposition_error":"bench_history/BENCH_FULL_r$prn.json has truncated maps (spark n=${pSpark.size}, duckdb n=${pDuckQ.size}) — need the full artifact""""
+                    else {
+                      val common = both.filter(n =>
+                        pSpark.contains(n) && pDuckQ.contains(n)).toSeq.sorted
+                      val addedM = (both -- common.toSet).toSeq.sorted
+                      val sDelta = common.map(n => sparkPer(n) - pSpark(n)).sum
+                      val dDelta = common.map(n => duckPer(n) - pDuckQ(n)).sum
+                      val movers = common
+                        .map(n => (n, sparkPer(n) - pSpark(n), duckPer(n) - pDuckQ(n)))
+                        .sortBy { case (_, sd, dd) => -(math.abs(sd) + math.abs(dd)) }
+                        .take(10)
+                        .map { case (n, sd, dd) =>
+                          s""""$n":{"spark_prior_s":${"%.3f".format(pSpark(n))},"spark_this_s":${"%.3f".format(sparkPer(n))},"spark_delta_s":${"%.3f".format(sd)},"duckdb_prior_s":${"%.3f".format(pDuckQ(n))},"duckdb_this_s":${"%.3f".format(dd + pDuckQ(n))},"duckdb_delta_s":${"%.3f".format(dd)}}"""
+                        }.mkString("{", ",", "}")
+                      val thisRatioStr =
+                        "\"ratio\"\\s*:\\s*([0-9.]+)".r
+                          .findFirstMatchIn(subsetSummary).map(_.group(1))
+                          .getOrElse("null")
+                      s""","subset_decomposition":{"prior":"bench_history/BENCH_FULL_r$prn.json","prior_subset_ratio":${pRatio.map("%.2f".format(_)).getOrElse("null")},"this_subset_ratio":$thisRatioStr,"common_n":${common.size},"members_added_this_round":${addedM.map("\"" + _ + "\"").mkString("[", ",", "]")},"common_spark_delta_sum_s":${"%.3f".format(sDelta)},"common_duckdb_delta_sum_s":${"%.3f".format(dDelta)},"top_movers":$movers,"note":"deltas over members present in BOTH rounds; members_added plus duckdb-side deltas are the composition/oracle share of a subset-ratio move"}"""
+                    }
+                }
               } catch { case e: Throwable =>
-                System.err.println(
-                  s"[bench] subset decomposition FAILED: ${e.getMessage}")
-                ""
+                s""","subset_decomposition_error":"${jesc(s"${e.getClass.getSimpleName}: ${e.getMessage}")}""""
               }
-            }.getOrElse("")
+            }.getOrElse(s""","subset_decomposition_error":"no duckdb baseline ran this pass"""")
             (pSeq, pDuck, duckWarmWall) match {
               case (Some(ps), Some(pd), Some(dw)) =>
                 val base =
                   s""","prior_round_comparison":{"prior":"BENCH_r$rn.json","prior_wall_seq_s":${"%.3f".format(ps)},"this_wall_seq_s":${"%.3f".format(wallSeq)},"seq_delta_pct":${"%.1f".format((wallSeq - ps) / ps * 100)},"prior_duckdb_warm_s":${"%.3f".format(pd)},"this_duckdb_warm_s":${"%.3f".format(dw)},"structural_changes":"$changes""""
-                val sweepKeys = sweepSeq.map { sw =>
+                val sweepKeys = sweepSeq.map { case (sw, swHead) =>
                   val dThis = (wallSeq - ps) / ps
                   val dSweep = (sw - ps) / ps
-                  s""","same_head_sweep_wall_seq_s":${"%.3f".format(sw)},"sweep_vs_prior_delta_pct":${"%.1f".format(dSweep * 100)},"signs_agree_with_sweep":${dThis * dSweep >= 0},"note":"both deltas are vs the prior round; disagreement marks one of the two same-HEAD runs as box noise"""".stripMargin
+                  // the cross-check is only meaningful when the sweep
+                  // measured THIS code: r16's flag compared this
+                  // round's run against the prior round's sweep
+                  // (vacuous agreement). A sweep artifact without a
+                  // head key, or with a different head, is stale.
+                  val cur = gitHead()
+                  val fresh = swHead.nonEmpty && cur.nonEmpty && swHead == cur
+                  val agree =
+                    if (fresh) (dThis * dSweep >= 0).toString else "null"
+                  s""","sweep_wall_seq_s":${"%.3f".format(sw)},"sweep_vs_prior_delta_pct":${"%.1f".format(dSweep * 100)},"sweep_head":${swHead.map("\"" + _ + "\"").getOrElse("null")},"sweep_stale":${!fresh},"signs_agree_with_sweep":$agree,"note":"both deltas are vs the prior round; the agreement flag is null unless BENCH_SCALE.json's head matches this run's HEAD — disagreement then marks one of the two same-HEAD runs as box noise"""".stripMargin
                 }.getOrElse("")
                 base + sweepKeys + subsetCmp + "}"
               case _ => ""
@@ -1393,9 +1517,23 @@ object Bench {
     val headline =
       s""""value":${"%.3f".format(wallPar)},"unit":"sec","schema_version":8,"wall_par${par}_postwarm_sec":${"%.3f".format(wallPar)},"wall_par${par}_coldplans_sec":${"%.3f".format(wallParCold)},"wall_seq_warm_sec":${"%.3f".format(wallSeq)},"sum_query_sec":${"%.3f".format(good.map(_.sec).sum)},"parallelism":$par,"n_queries":${outSeq.size},"queries_methodology":"seq_warm_par1_min2_min3_top15_and_ge0p8","jvm_max_heap_mb":${Runtime.getRuntime.maxMemory() >> 20},"idle_gate":$gate,"load_before":$loadBefore,"load_after":$loadAfter"""
     val json =
-      s"""{"metric":"total",$headline,"queries":$qs,"errors":$errs,"errors_par_only":$parOnlyErrs,"excluded_queries":$excludedJson,"skipped_blocks":${skippedBlocks.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}$duck$vector$skew$pcAb$scanFloor$dljAb$a6Floor$q3Floor$asofFloor$a8Fixed$probePaths$probeDegrade$tsDecodeAb$joinFloor$segTp$stState$clusterProbe$priorCmp,"sf":"$sfDir"}"""
+      s"""{"metric":"total",$headline,"queries":$qs,"errors":$errs,"errors_par_only":$parOnlyErrs,"excluded_queries":$excludedJson,"skipped_blocks":${skippedBlocks.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}$duck$vector$skew$pcAb$scanFloor$dljAb$a6Floor$q3Floor$asofFloor$a8Fixed$probePaths$probeDegrade$tsDecodeAb$joinFloor$segTp$stState$clusterProbe$suiteFixedCost$priorCmp,"sf":"$sfDir"}"""
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), json)
+    // committed full-artifact sidecar (r16 judge item #3): the driver's
+    // BENCH_r{N}.json keeps only the compact tail line, so the full
+    // per-query spark+duckdb maps were lost to history and the
+    // round-over-round decomposition had nothing to diff against.
+    // Every sf0.1 run refreshes _latest; the round snapshot commits it
+    // (renamed BENCH_FULL_r{N}.json once the round number is known).
+    // Gated on sf0.1 so sweep points at other scales don't clobber it.
+    if (sfDir.contains("sf0.1")) try {
+      val hd = Paths.get("bench_history")
+      Files.createDirectories(hd)
+      Files.writeString(hd.resolve("BENCH_FULL_latest.json"), json)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_history write FAILED: ${e.getMessage}")
+    }
 
     // Compact summary line: the driver parses the run's log TAIL (a
     // bounded window), so the last stdout line must be a complete JSON

@@ -50,11 +50,14 @@ object PlanDump {
       "makes inner = semi; qualifying orderkeys -> lineitem because the " +
       "(date, priority) payload is only needed for the 10 SURVIVING rows), " +
       "so the fact job is a bare 3-column probe-scan + narrow groupBy on " +
-      "the orders PK + TakeOrdered(10); the payload then attaches by " +
-      "broadcasting the TEN aggregated rows into one cheap orders re-scan " +
-      "— the r14 88.8k-row/12.6 MB oc broadcast and its serial " +
-      "HashedRelation build are gone. The only remaining join operator is " +
-      "that 10-row attach. BENCH's q3_stage_floor prices every stage " +
+      "the orders PK + TakeOrdered(10); the payload then attaches via an " +
+      "In-pushdown (`isin` of the ten orderkeys reaches the orders scan " +
+      "as a pushed filter, r16) + a 10-row broadcast join — the r14 " +
+      "88.8k-row/12.6 MB oc broadcast, its serial HashedRelation build, " +
+      "AND the r15 broadcast-exchange collect are gone. Since r16 the two " +
+      "eager bitmap builds are memoized per canonicalized keys plan " +
+      "(reuse=true, LRU 8), so re-executions of the same logical query " +
+      "stop re-paying them. BENCH's q3_stage_floor prices every stage " +
       "(bare 4-col filtered scan -> +probe -> +agg/top10 -> full) at " +
       "every sweep point."),
     "j1_equijoin" -> ("Dense dictionary-lookup join on the reference J1 shape " +
@@ -73,12 +76,14 @@ object PlanDump {
       "the parquet reader (PushedFilters), and ReadSchema carries only the " +
       "three projected columns."),
     "a8_interpolate" -> ("Keyed time-series interpolation, FUSED SPINE since " +
-      "r15: toDailySpine is one lead+explode window pass (each observation " +
-      "emits its gap days up to the next), so the bounds aggregation and " +
-      "the spine left-join are gone — one Exchange on the series key, " +
-      "then the spine AND every interpolation window ride the same " +
-      "partitioning. 4 jobs -> 3 at the 100x point; BENCH's a8_fixed_cost " +
-      "prices the remaining jobs against the no-file job floor."),
+      "r15, ONE KEYED EXCHANGE since r16: the pre-agg repartition on " +
+      "user_id satisfies the daily aggregation's clustered distribution " +
+      "(subset partitioning), so agg + lead/explode spine + every " +
+      "interpolation window share a single shuffle — plan-pinned <=1 " +
+      "Exchange by PlanSpec. Map-side combine moves post-shuffle, " +
+      "acceptable behind the ~99.5%-selective filter and documented at " +
+      "the call site. BENCH's a8_fixed_cost prices the remaining 2 jobs " +
+      "against the no-file job floor (at sf0.1 a8 sits AT the floor)."),
     "range_join" -> ("No-equi-key time-proximity COUNT: both sides collapse to " +
       "one row per tolerance bucket (sorted timestamp array / density-" +
       "bounded probe chunks of <=maxProbesPerChunk rows each), " +
@@ -96,6 +101,16 @@ object PlanDump {
     "s2_jdbc" -> ("JDBC source: the numeric predicate is pushed into the remote " +
       "database (PushedFilters in the JDBC scan node) — the DB filters, the " +
       "cluster aggregates."),
+    "asof_join" -> ("Fused single-source as-of join (r16, TemporalJoin" +
+      ".asofFused): both sides are predicates over the SAME events table, " +
+      "so the plan is ONE scan (both predicates push down as one OR " +
+      "filter), one Exchange on the key, one running-`last` window that " +
+      "carries the right payload forward — the r14 two-table form's " +
+      "second scan and its pre-agg shuffle are gone. Equal-(key, ts) " +
+      "right rows resolve via rTieBreak sort columns inside the same " +
+      "window; disjointness of the side predicates is raise_error-" +
+      "enforced per row (r17). BENCH's asof_floor prices bare scan -> " +
+      "+window -> full at every sweep point."),
     "ann_autoswap" -> ("Plan-level ANN auto-swap: the query is the declarative " +
       "sql_knn shape (ORDER BY cosine DESC LIMIT k, no cluster predicate); " +
       "RewriteCosineTopKToProbes injects `cluster IN (nprobe nearest " +

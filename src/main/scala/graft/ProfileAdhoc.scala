@@ -7,10 +7,15 @@ import org.apache.spark.sql.functions._
   * rounds. Each variant is timed with the same noop sink the suite
   * uses. Not part of any contract; kept out of the query registry.
   *
-  * Current A/B: the range_join aggregate-pushdown — the enumerating
-  * proximity join + count vs TemporalJoin.proximityCount on the same
-  * corpus. Run on an otherwise-idle box:
-  *   SPARK_GRAFT_SF_DIR=/tmp/scale/x100 sbt "runMain graft.ProfileAdhoc"
+  * Current A/B: a6_pricing_summary's group-key representation. The
+  * r16 a6_floor_ab named the residual: the 6-group HashAggregate over
+  * TWO string key columns adds 0.064 s over the bare 7-col scan at
+  * sf0.1 (and read 2.3x isolated at x100 in r15). Candidate fix: pack
+  * the two 1-char columns into ONE int key (ascii*256+ascii) so the
+  * aggregate takes HashAggregate's primitive-key fast path and the
+  * strings materialize once per GROUP on output, not once per row in
+  * the key comparator. Run on an otherwise-idle box:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ProfileAdhoc"
   */
 object ProfileAdhoc {
   private def time(name: String, reps: Int)(mk: => DataFrame): Unit = {
@@ -23,91 +28,60 @@ object ProfileAdhoc {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/scale/x100")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.range(100000).agg(sum("id")).collect()
-    val ev = Tables.load(spark, sfDir, "events")
 
-    def purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
-    def errors = ev.filter(col("event_type") === "error")
-      .select(col("ts").as("e_ts"))
+    def li = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("date"))
 
-    import org.apache.spark.sql.Column
-    import org.apache.spark.sql.expressions.Window
-    // inline copies of the proximityCount internals so three chunking
-    // strategies can be timed against each other on the same corpus
-    def downstream(df: DataFrame): DataFrame = df
-      .filter(col("n_matches") > 0)
-      .groupBy(to_date(col("p_ts")).as("day"))
-      .agg(sum("n_matches").as("n_pairs"),
-        count(col("p_id")).as("n_purchases"))
-      .orderBy("day")
-    val tolSec = 300L
-    val tolUs = tolSec * 1000000L
-    def bucket(c: Column): Column = floor(unix_micros(c) / tolUs)
-    def eN(right: DataFrame) = {
-      val eB = right.groupBy(bucket(col("e_ts")).as("_b"))
-        .agg(sort_array(collect_list(unix_micros(col("e_ts")))).as("_ts"))
-      eB.select(col("_b").as("_src"), col("_ts"),
-          explode(array(lit(-1L), lit(0L), lit(1L))).as("_shift"))
-        .groupBy((col("_src") + col("_shift")).as("_b"))
-        .agg(flatten(transform(
-          sort_array(collect_list(struct(col("_src"), col("_ts")))),
-          x => x.getField("_ts"))).as("_ts"))
-    }
-    def finish(pB: DataFrame, right: DataFrame, cols: Seq[String]) =
-      pB.join(eN(right), Seq("_b"), "left")
-        .select(explode(arrays_zip(
-          transform(col("_ps"), x => x.getField("_row")),
-          operators.TemporalJoin.windowCountsUdfForBench(
-            transform(col("_ps"), x => x.getField("_us")),
-            col("_ts"), lit(tolUs)))).as("_z"))
-        .select((cols.map(c =>
-          col("_z").getField("0").getField(c).as(c)) :+
-          col("_z").getField("1").as("n_matches")): _*)
+    val aggs = Seq(
+      round(sum("l_quantity"), 2).as("sum_qty"),
+      round(sum("l_extendedprice"), 2).as("sum_base_price"),
+      round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("sum_disc_price"),
+      round(avg("l_quantity"), 4).as("avg_qty"),
+      round(avg("l_extendedprice"), 4).as("avg_price"),
+      count(lit(1)).as("count_order"))
 
-    time("pc_old_unchunked", reps) {
-      val left = purchases
-      val pB = left.groupBy(bucket(col("p_ts")).as("_b"))
-        .agg(collect_list(struct(unix_micros(col("p_ts")).as("_us"),
-          struct(left.columns.map(col): _*).as("_row"))).as("_ps"))
-      downstream(finish(pB, errors, left.columns.toSeq))
+    // warm file/page cache with the bare scan
+    time("bare_7col_scan", reps) {
+      li.agg(sum("l_quantity"), sum("l_extendedprice"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+        count(lit(1)), count(col("l_returnflag")), count(col("l_linestatus")))
     }
 
-    time("pc_precount_chunked", reps) {
-      downstream(operators.TemporalJoin
-        .proximityCount(purchases, errors, "p_ts", "e_ts", tolSec))
+    time("a6_string_keys", reps) {
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy("l_returnflag", "l_linestatus")
     }
 
-    time("pc_reuse_exchange_chunked", reps) {
-      val left = purchases
-      val maxChunk = 65536
-      val lb = left.withColumn("_b", bucket(col("p_ts")))
-        .repartition(col("_b"))
-      val cnt = lb.groupBy("_b")
-        .agg(ceil(count(lit(1)) / lit(maxChunk.toDouble)).cast("long").as("_nc"))
-      val pB = lb.join(cnt, Seq("_b"))
-        .withColumn("_sub", pmod(hash(left.columns.map(col): _*), col("_nc")))
-        .groupBy(col("_b"), col("_sub"))
-        .agg(collect_list(struct(unix_micros(col("p_ts")).as("_us"),
-          struct(left.columns.map(col): _*).as("_row"))).as("_ps"))
-      downstream(finish(pB, errors, left.columns.toSeq))
+    time("a6_packed_int_key", reps) {
+      li.groupBy((ascii(col("l_returnflag")) * 256 +
+          ascii(col("l_linestatus"))).as("_code"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(
+          chr(floor(col("_code") / 256)).as("l_returnflag"),
+          chr(col("_code") % 256).as("l_linestatus"),
+          col("sum_qty"), col("sum_base_price"), col("sum_disc_price"),
+          col("avg_qty"), col("avg_price"), col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
     }
 
-    time("pc_window_chunked", reps) {
-      val left = purchases
-      val maxChunk = 65536
-      val wB = Window.partitionBy(col("_b"))
-      val pB = left
-        .withColumn("_b", bucket(col("p_ts")))
-        .withColumn("_nc", ceil(count(lit(1)).over(wB) / lit(maxChunk.toDouble)).cast("long"))
-        .withColumn("_sub", pmod(hash(left.columns.map(col): _*), col("_nc")))
-        .groupBy(col("_b"), col("_sub"))
-        .agg(collect_list(struct(unix_micros(col("p_ts")).as("_us"),
-          struct(left.columns.map(col): _*).as("_row"))).as("_ps"))
-      downstream(finish(pB, errors, left.columns.toSeq))
+    time("a6_substr_byte_key", reps) {
+      // same packing via substring-free byte access: ascii() already
+      // reads byte 0; this variant checks whether the arithmetic
+      // packing vs a straight two-int groupBy matters
+      li.groupBy(ascii(col("l_returnflag")).as("_rf"),
+          ascii(col("l_linestatus")).as("_ls"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(chr(col("_rf")).as("l_returnflag"),
+          chr(col("_ls")).as("l_linestatus"),
+          col("sum_qty"), col("sum_base_price"), col("sum_disc_price"),
+          col("avg_qty"), col("avg_price"), col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
     }
 
     spark.stop()

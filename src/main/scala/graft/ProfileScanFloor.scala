@@ -37,12 +37,14 @@ import org.apache.spark.sql.functions._
 object ProfileScanFloor {
 
   private def footerStats(dir: String): (Int, Long, Long, Double, Int) = {
-    // (totalRowGroups, totalFooterBytes, files, oneFooterParseSec, filesCount)
+    // (totalRowGroups, totalFooterBytes, totalDataBytes, oneFooterParseSec, filesCount)
     val p = Paths.get(dir, "lineitem.parquet")
     val files =
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
-      else Seq(p)
+      if (Files.isDirectory(p)) {
+        val st = Files.list(p)
+        try st.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+        finally st.close()
+      } else Seq(p)
     val conf = new Configuration()
     var groups = 0
     var footerBytes = 0L

@@ -117,7 +117,11 @@ object ProductQuantizer {
         val num = (math.min(1.0, 1.2 * maxTrainSamples / n.toDouble) * den).toLong
         vecs0.filter(pmod(xxhash64(col(embCol), lit(seed)), lit(den)) < lit(num))
       }
-    val sampled = vecs.orderBy(col(embCol)).collect().map(_.getSeq[Float](0).toArray)
+    // hard cap for the same duplicate-hash reason as VectorIndex.train
+    // (r17 audit): expectation-bounded is not driver-bounded when
+    // duplicate vectors share one hash value
+    val sampled = vecs.orderBy(col(embCol)).limit(4 * maxTrainSamples)
+      .collect().map(_.getSeq[Float](0).toArray)
     // the hash sample can come back empty on degenerate corpora (e.g.
     // every embedding identical → one hash value); fall back to a
     // bounded slice of the unsampled input rather than throwing on

@@ -230,6 +230,14 @@ object Relational {
     * one build and one broadcast; it extends the eager-snapshot
     * contract across constructions (a changed underlying FILE behind
     * an identical plan is NOT re-read — hence opt-in, default off).
+    * Staleness bound (r17 audit of the r16 cache): the canonicalized
+    * LogicalRelation embeds its FileIndex by REFERENCE, so two
+    * independent `spark.read` calls over the same path never collide —
+    * a cache hit requires the same relation object (e.g. Tables.load's
+    * memoized DataFrame), whose file listing is exactly what the keys
+    * scan itself would read. A fresh re-read (new listing) is a
+    * different key → miss → rebuild; the cached probe can never be
+    * staler than the plan that probes it.
     * Bounded: ≤[[probeCacheMaxEntries]] LRU entries per JVM, each
     * ≤ maxBitmapBytes/16·maxKeys; evicted broadcasts are reclaimed by
     * the ContextCleaner once unreferenced. */
@@ -458,10 +466,17 @@ object Relational {
         // duplicate key appended per occurrence must not count
         // against it). The free-slot floor keeps an adversarial
         // near-full distinct set from re-sorting per append: when a
-        // compaction frees fewer than ~maxKeys/16 slots the buffer is
-        // treated as full, so the guard may fire up to 6.25% early on
-        // duplicate-triggering streams — documented, loud, and the
-        // auto-degrade rung (bloomSemiJoin) stays exact either way.
+        // compaction frees fewer than `floor` slots the buffer is
+        // treated as full. Real early-fire bound (r16 advisory): for
+        // maxKeys >= 256 the floor is maxKeys/16, so the guard may
+        // fire up to 6.25% early; below 256 the 16-slot lower clamp
+        // dominates (capped at maxKeys/4), so e.g. maxKeys=64 fires
+        // from 49 distinct (~25% early), and a distinct set landing
+        // EXACTLY at maxKeys via a duplicate-heavy stream can still
+        // trip the guard. Documented, loud, and the auto-degrade rung
+        // (bloomSemiJoin) stays exact either way — the floor trades a
+        // small contract margin for O(n log n) total compaction cost
+        // instead of O(n^2) on adversarial streams.
         val d = compactDistinct(sk, skN)
         val floor = math.min(math.max(16, maxKeys >>> 4),
           math.max(1, maxKeys >>> 2))

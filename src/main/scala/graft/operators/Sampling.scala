@@ -49,9 +49,15 @@ object Sampling {
     * bit-identical rates (no float-summation-order hazard), and
     * membership reuses [[systematicSample]]'s portable hash-mod rule.
     * rate_d = min(1000, budget·1000·isqrt(n_d) / (Σ_e isqrt(n_e) ·
-    * n_d)), i.e. expected picks ≈ budget·w_d. */
+    * n_d)), i.e. expected picks ≈ budget·w_d.
+    *
+    * The "bounded driver scalar" claim is now ENFORCED, not assumed
+    * (r16 self-audit): the count collect is limit-gated at
+    * `maxStrata` and fails loud when the stratum column turns out
+    * high-cardinality (someone passing doc_id instead of a domain
+    * gets an error naming the fix, not an OOM'd driver). */
   def temperatureMix(df: DataFrame, idCol: Column, stratumCol: Column,
-                     budget: Long): DataFrame = {
+                     budget: Long, maxStrata: Int = 10000): DataFrame = {
     def isqrt(n: Long): Long = {
       // division-form comparisons: (r+1)² and r² overflow Long near
       // n = Long.MaxValue; for positive x, x² ≤ n ⟺ x ≤ n/x in
@@ -65,9 +71,16 @@ object Sampling {
         r
       }
     }
+    // limit(maxStrata+1) bounds what can ever reach the driver; the
+    // +1 row, if present, proves the overflow without collecting it all
     val counts = df.groupBy(stratumCol.as("_s")).agg(count(lit(1)).as("_n"))
+      .limit(maxStrata + 1)
       .collect()
       .flatMap(r => Option(r.get(0)).map(s => s.toString -> r.getLong(1)))
+    require(counts.length <= maxStrata,
+      s"temperatureMix: more than $maxStrata distinct strata — the " +
+        "stratum column looks row-grained (pass a domain/language-class " +
+        "column, or raise maxStrata if the mix really has that many sources)")
     val sumW = counts.map(c => isqrt(c._2)).sum
     require(sumW > 0, "temperatureMix: empty input")
     val rates = counts.map { case (s, n) =>

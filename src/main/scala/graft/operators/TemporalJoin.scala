@@ -94,20 +94,42 @@ object TemporalJoin {
     *
     * `isLeft` and `isRight` must be DISJOINT (a row satisfying both
     * would have to act as its own match candidate — model that
-    * explicitly with [[asof]]). Payloads are (name, expression) pairs
-    * evaluated on the source row.
+    * explicitly with [[asof]]). ENFORCED per row at zero extra cost
+    * (r16 self-audit: this was documented only): the side tag raises
+    * through Spark's `raise_error` on the first overlapping row, so a
+    * contract violation fails the job loudly instead of silently
+    * tagging the row as left-only. Payloads are (name, expression)
+    * pairs evaluated on the source row.
+    *
+    * `rTieBreak = Nil` requires UNIQUE right rows per (keys, ts):
+    * with no tie-break, duplicate right rows at an equal (keys, ts)
+    * sort in nondeterministic relative order and the running `last`
+    * picks an arbitrary one. The base [[asof]] documents the same
+    * uniqueness contract; here the empty case warns loud (same style
+    * as toDailySpine) because the fused form's doc says the tie-break
+    * "replaces" the pre-aggregation — it only does if you pass one.
     */
   def asofFused(src: DataFrame, isLeft: Column, isRight: Column,
                 keys: Seq[String], ts: Column,
                 lPayload: Seq[(String, Column)],
                 rPayload: Seq[(String, Column)],
                 rTieBreak: Seq[Column] = Nil): DataFrame = {
+    if (rTieBreak.isEmpty)
+      System.err.println(
+        "[graft] asofFused: empty rTieBreak — duplicate right rows at " +
+          "an equal (keys, ts) match nondeterministically; pass a " +
+          "tie-break or guarantee unique (keys, ts) right rows")
     val lCols = lPayload.map { case (n, c) => c.as(n) }
     val tagged = src
       .filter(isLeft || isRight)
       .select(
         keys.map(col) ++
-          Seq(ts.as("_t"), when(isLeft, 1).otherwise(0).as("_side"),
+          Seq(ts.as("_t"),
+            when(isLeft && isRight, raise_error(lit(
+              "asofFused: isLeft and isRight overlap on a row — the " +
+                "predicates must be disjoint (model a self-matching " +
+                "row with asof)")).cast("int"))
+              .when(isLeft, 1).otherwise(0).as("_side"),
             when(isRight, struct(rPayload.map { case (n, c) => c.as(n) }: _*))
               .as("_rp")) ++
           lCols ++ rTieBreak.zipWithIndex.map { case (c, i) => c.as(s"_tb$i") }: _*)

@@ -91,8 +91,17 @@ object VectorIndex {
       }
     // stable sort before collect: parquet scan order varies with split
     // sizing, and the seeded init indexes into this array — sorting by
-    // the vector value pins the fit to the DATA, not the layout
-    val pts = vecs.orderBy(col(embCol)).collect().map(_.getSeq[Float](0).toArray)
+    // the vector value pins the fit to the DATA, not the layout.
+    // HARD cap (r17 audit): the hash selection bounds the sample in
+    // EXPECTATION (~1.2×max), but duplicate vectors share one hash —
+    // a duplicate-heavy corpus puts an entire duplicate class on one
+    // side of the cut, so without a limit the collect is unbounded on
+    // exactly the corpora dedup exists for. orderBy+limit plans as a
+    // distributed TakeOrdered; when the cap doesn't bite (every
+    // non-degenerate corpus) the result is bit-identical to the
+    // uncapped sorted collect.
+    val pts = vecs.orderBy(col(embCol)).limit(4 * maxTrainSamples)
+      .collect().map(_.getSeq[Float](0).toArray)
     Model(localKMeans(pts, k, seed, maxIter))
   }
 

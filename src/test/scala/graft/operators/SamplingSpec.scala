@@ -50,6 +50,21 @@ class SamplingSpec extends SparkSpec {
     assert(ids(docs) == ids(docs.repartition(17)) && ids(docs).nonEmpty)
   }
 
+  test("temperature mix fails loud on a row-grained stratum column") {
+    // r16 self-audit: the per-stratum count collect is limit-gated —
+    // passing an id-like column must error with guidance, not pull
+    // every distinct value to the driver
+    val rowGrained = (1L to 50L).map(i => (i, s"s$i")).toDF("id", "lang")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(rowGrained, $"id", $"lang",
+        budget = 10L, maxStrata = 20)
+    }
+    assert(e.getMessage.contains("distinct strata"))
+    // at-the-bound stays in contract
+    assert(Sampling.temperatureMix(rowGrained, $"id", $"lang",
+      budget = 50L, maxStrata = 50).count() > 0)
+  }
+
   test("unknown strata fall back to the default rate (0 = dropped)") {
     val out = Sampling.systematicSample(docs, $"id", $"lang", Map("fr" -> 900L))
     assert(out.count() == 0)

@@ -116,6 +116,28 @@ class TemporalJoinSpec extends SparkSpec {
     assert(n == 3L) // -tol, +tol, same-instant; the two 1us-outside miss
   }
 
+  test("asofFused fails loud when isLeft and isRight overlap on a row") {
+    // r16 self-audit: the disjointness contract was documented only —
+    // now the side tag raise_errors on the first overlapping row
+    val ev = Seq((1L, 1L, 1700000000000000L, "purchase"))
+      .toDF("event_id", "user_id", "_us", "event_type")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("_us")).as("ts"), col("event_type"))
+    val e = intercept[Exception] {
+      TemporalJoin.asofFused(ev,
+        isLeft = col("event_type") === "purchase",
+        isRight = col("event_id") === 1L, // overlaps isLeft on the row
+        keys = Seq("user_id"), ts = col("ts"),
+        lPayload = Seq("event_id" -> col("event_id")),
+        rPayload = Seq("click_id" -> col("event_id")),
+        rTieBreak = Seq(col("event_id"))).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("overlap")))
+  }
+
   test("asofFused equals the two-table asof (+ brute force) on a seeded event stream, incl. ties") {
     // a single-source stream of 'purchase' and 'click' rows per user,
     // timestamps drawn from a SMALL grid so exact-tie cases (click at
