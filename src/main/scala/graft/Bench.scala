@@ -240,6 +240,21 @@ object Bench {
     if (pr.waitFor() == 0 && out.matches("[0-9a-f]{40}")) Some(out) else None
   } catch { case _: Throwable => None }
 
+  /** Whether the MEASURED code is unchanged between `head` and the
+    * current checkout: exact-HEAD equality would mark a sweep stale
+    * after any doc/artifact commit (the end-of-round snapshot always
+    * is one), so staleness is defined as a non-empty diff over the
+    * library source and build. Unknown commits (or no git) read as
+    * changed → stale, the safe direction. */
+  private def sourceUnchangedSince(head: String): Boolean = try {
+    if (!head.matches("[0-9a-f]{40}")) false
+    else {
+      val pr = new ProcessBuilder("git", "diff", "--quiet", head, "HEAD",
+        "--", "src/main", "build.sbt").start()
+      pr.waitFor() == 0
+    }
+  } catch { case _: Throwable => false }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -1492,11 +1507,10 @@ object Bench {
                   // round's run against the prior round's sweep
                   // (vacuous agreement). A sweep artifact without a
                   // head key, or with a different head, is stale.
-                  val cur = gitHead()
-                  val fresh = swHead.nonEmpty && cur.nonEmpty && swHead == cur
+                  val fresh = swHead.exists(sourceUnchangedSince)
                   val agree =
                     if (fresh) (dThis * dSweep >= 0).toString else "null"
-                  s""","sweep_wall_seq_s":${"%.3f".format(sw)},"sweep_vs_prior_delta_pct":${"%.1f".format(dSweep * 100)},"sweep_head":${swHead.map("\"" + _ + "\"").getOrElse("null")},"sweep_stale":${!fresh},"signs_agree_with_sweep":$agree,"note":"both deltas are vs the prior round; the agreement flag is null unless BENCH_SCALE.json's head matches this run's HEAD — disagreement then marks one of the two same-HEAD runs as box noise"""".stripMargin
+                  s""","sweep_wall_seq_s":${"%.3f".format(sw)},"sweep_vs_prior_delta_pct":${"%.1f".format(dSweep * 100)},"sweep_head":${swHead.map("\"" + _ + "\"").getOrElse("null")},"sweep_stale":${!fresh},"signs_agree_with_sweep":$agree,"note":"both deltas are vs the prior round; the agreement flag is null unless src/main+build.sbt are diff-identical between BENCH_SCALE.json's head and this run's HEAD — disagreement then marks one of the two same-code runs as box noise"""".stripMargin
                 }.getOrElse("")
                 base + sweepKeys + subsetCmp + "}"
               case _ => ""
