@@ -42,7 +42,7 @@ METHOD = (
     "reported three ways: the full real-SQL subset; excluding all "
     "lambda-heavy oracles (most conservative); and excluding only the "
     "three round-4 additions (comparable to round 3's published trend). "
-    "The x1000 point (r15) runs a REDUCED suite: SPARK_GRAFT_EXCLUDE "
+    "The x1000 point (since r15) runs a REDUCED suite: SPARK_GRAFT_EXCLUDE "
     "drops range_join (its oracle-and-engine pair enumeration grows "
     "~min(N,30)*N — hours in DuckDB at 17 GB) and the four r4 "
     "lambda-heavy oracles (interpreter-bound over 5 M docs); the "
