@@ -40,6 +40,17 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // read INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet
+      // columns (the DuckDB/pyarrow-written testdata layout) directly
+      // as TimestampType instead of TIMESTAMP_NTZ: the session is
+      // pinned UTC, so the values are identical, and this removes the
+      // per-row NTZ→timestamp Cast projection [[Tables.load]] had to
+      // insert on every events scan (r17 ProfileQuery priced the
+      // NTZ→timestamp→date double cast at ~0.4-0.5 s per 100 M rows —
+      // most of the events-family x1000 weak-set tails). The
+      // downstream DataFrame schema is unchanged (Tables.load already
+      // cast to TimestampType); only the cast's per-row cost goes.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // Spark 4 whitelists CSV charsets; the reference's fruit CSVs
       // are cp949 (S4), which needs the full JVM charset set
       .config("spark.sql.legacy.javaCharsets", "true")

