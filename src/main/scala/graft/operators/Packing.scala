@@ -37,4 +37,73 @@ object Packing {
       .withColumn("seq_id", floor(col("_before") / budget).cast("long"))
       .drop("_before")
   }
+
+  /** [[packSequences]] with the prefix sum computed in TWO LEVELS —
+    * the distributed-scan pattern — for corpora whose shard count is
+    * far below the cluster's parallelism. The plain form's window
+    * sorts each whole shard in one task: with the bench contract's 8
+    * shards, a 33 M-doc corpus packs on 8 of 32 cores (x1000 probe:
+    * 3.45 s of the 3.73 s wall was that window; the scan+token-count
+    * is 0.27 s). Here each shard splits into `buckets` value-range
+    * blocks of `orderCol` (blocks are monotone in the pack order, so
+    * per-block local prefix + per-shard block offset == the global
+    * per-shard prefix — plain long addition, exact): the big window
+    * then partitions by (shard, block) at shards×buckets-way
+    * parallelism, the block-sum table is tiny (shards × buckets rows)
+    * and broadcast-joins back. Two passes over the input (block sums,
+    * then the windowed pass) — the trade is one extra scan+exchange
+    * for a sort that no longer serializes on shard count.
+    * `orderCol` must be integral (block bounds come from min/max over
+    * a long cast); PackingSpec pins blocked == plain on fuzzed
+    * inputs. Row-count note: the min/max agg is one bounded driver
+    * scalar (2 longs), same class as the other floor probes.
+    *
+    * MEASURED NEGATIVE at the 17 GB point (r18, dedup_stage_floor
+    * prices it every run): 5.3 s vs the plain form's 3.8 s — there the
+    * wall is exchange + WindowExec per-row cost, NOT sort parallelism
+    * (sortWithinPartitions after the exchange adds only 0.04 s), so
+    * the second exchange+join buys nothing. The committed
+    * pack_sequences query keeps the plain form; this one is the
+    * documented alternative for the regime it was designed for —
+    * few shards × huge per-shard row counts where the single-task
+    * sort actually spills. */
+  def packSequencesBlocked(df: DataFrame, shardCol: Column, orderCol: Column,
+                           tokenCol: Column, budget: Long,
+                           buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val bounds = df.agg(min(orderCol.cast("long")),
+      max(orderCol.cast("long"))).head()
+    if (bounds.isNullAt(0)) return packSequences(df, shardCol, orderCol,
+      tokenCol, budget) // empty (or all-null order) input: trivial either way
+    val lo = bounds.getLong(0)
+    val hi = bounds.getLong(1)
+    // ceil((hi-lo+1)/buckets), floored at 1; (o-lo) fits a non-negative
+    // long, so the pmod-aligned division is an exact floor
+    val width = math.max(1L, (hi - lo) / buckets + 1L)
+    def blockOf(o: Column): Column = {
+      val x = o.cast("long") - lit(lo)
+      ((x - pmod(x, lit(width))) / width).cast("long")
+    }
+    val withBlock = df.withColumn("_blk", blockOf(orderCol))
+    val wLocal = Window.partitionBy(shardCol, col("_blk")).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOffset = Window.partitionBy("_shard_key").orderBy(col("_blk_r"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // right side gets fresh column NAMES (_shard_key/_blk_r) — a
+    // same-name join condition on a self-derived frame resolves to a
+    // trivially-true predicate under Spark's ambiguity rules
+    val blockSums = withBlock
+      .groupBy(shardCol.as("_shard_key"), col("_blk").as("_blk_r"))
+      .agg(sum(tokenCol).as("_bsum"))
+      .withColumn("_off", coalesce(sum("_bsum").over(wOffset), lit(0L)))
+      .drop("_bsum")
+    withBlock
+      .join(broadcast(blockSums),
+        shardCol === col("_shard_key") && col("_blk") === col("_blk_r"))
+      .drop("_blk_r", "_shard_key")
+      .withColumn("_before",
+        coalesce(sum(tokenCol).over(wLocal), lit(0L)) + col("_off"))
+      .withColumn("seq_id", floor(col("_before") / budget).cast("long"))
+      .drop("_before", "_off", "_blk")
+  }
 }

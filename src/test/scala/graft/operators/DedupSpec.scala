@@ -147,4 +147,40 @@ class DedupSpec extends SparkSpec {
     // antipodal vector flips every sign bit
     assert((out(0) ^ out(2)) == ((1L << 12) - 1))
   }
+
+  test("ASCII fast-path tokenizer is bit-identical to the toLowerCase+regex pipeline") {
+    // reference semantics, reimplemented here verbatim from the old
+    // UDF bodies: lowered copy, regex scan, poly-31 hash per token
+    val pat = java.util.regex.Pattern.compile("[가-힣a-z0-9][가-힣a-z0-9\\-_/]+")
+    def reference(text: String): Seq[Long] = {
+      val m = pat.matcher(text.toLowerCase)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (m.find()) {
+        val t = m.group()
+        var h = 1125899906842597L
+        var k = 0
+        while (k < t.length) { h = h * 31L + t.charAt(k); k += 1 }
+        out += h
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(7)
+    val ascii = "abcXYZ 019-_/.,!\t" * 3
+    val mixed = ascii + "한국어 텍스트 İstanbul KELVINK"
+    val fuzz = (0 until 3000).map { i =>
+      val alpha = if (i % 3 == 0) mixed else ascii
+      (0 until rnd.nextInt(60)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    }
+    val edges = Seq("", "a", "ab", "a b", "ab-", "-ab", "a/b_c-d", "AB",
+      "x" * 500, "end ab", "ab end", "가나", "a가b", "9/11", "A1-B2/c3")
+    (fuzz ++ edges).foreach { s =>
+      val fast = graft.operators.Dedup.tokenHashes(s).toSeq
+      assert(fast == reference(s), s"mismatch on ${s.take(80).inspect()}")
+    }
+    assert(Dedup.tokenHashes(null).isEmpty)
+  }
+
+  private implicit class Insp(s: String) {
+    def inspect(): String = s.map(c => if (c < 128) c.toString else f"\\u${c.toInt}%04x").mkString
+  }
 }
