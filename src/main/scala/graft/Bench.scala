@@ -241,19 +241,35 @@ object Bench {
   } catch { case _: Throwable => None }
 
   /** Whether the MEASURED code is unchanged between `head` and the
-    * current checkout: exact-HEAD equality would mark a sweep stale
-    * after any doc/artifact commit (the end-of-round snapshot always
-    * is one), so staleness is defined as a non-empty diff over the
-    * library source and build. Unknown commits (or no git) read as
-    * changed → stale, the safe direction. */
+    * code actually running now: exact-HEAD equality would mark a sweep
+    * stale after any doc/artifact commit (the end-of-round snapshot
+    * always is one), so staleness is defined as a non-empty diff over
+    * the library source and build — against the WORKING TREE, not
+    * HEAD (r17 advisory: a commit-to-commit diff called a bench run
+    * with uncommitted src/main edits "fresh" — the exact
+    * silent-vacuous-comparison this check exists to prevent; with one
+    * commit argument `git diff` compares that commit to the working
+    * tree, covering committed and uncommitted changes alike). Unknown
+    * commits (or no git) read as changed → stale, the safe
+    * direction. */
   private def sourceUnchangedSince(head: String): Boolean = try {
     if (!head.matches("[0-9a-f]{40}")) false
     else {
-      val pr = new ProcessBuilder("git", "diff", "--quiet", head, "HEAD",
+      val pr = new ProcessBuilder("git", "diff", "--quiet", head,
         "--", "src/main", "build.sbt").start()
       pr.waitFor() == 0
     }
   } catch { case _: Throwable => false }
+
+  /** Whether the working tree is dirty over the measured code — used
+    * to embed an honest `run_head` in the artifact (a dirty run's
+    * numbers can't be attributed to any commit). */
+  private def sourceDirty(): Boolean = try {
+    val pr = new ProcessBuilder("git", "status", "--porcelain",
+      "src/main", "build.sbt").start()
+    val out = new String(pr.getInputStream.readAllBytes()).trim
+    pr.waitFor() != 0 || out.nonEmpty
+  } catch { case _: Throwable => true }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -698,6 +714,69 @@ object Bench {
       s""","ts_decode_ab":{"job_floor_range10m_s":${"%.3f".format(jobFloor)},"events_zero_col_scan_s":${"%.3f".format(zeroCol)},"events_int64_plus_double_s":${"%.3f".format(plainInt)},"events_ts_plus_double_s":${"%.3f".format(tsDefault)},"events_ts_rebase_corrected_s":${"%.3f".format(tsCorrected)},"verdict":"ts decode adds ${"%.3f".format(math.max(0, tsDefault - plainInt))} s over the int64 read; rebase CORRECTED delta ${"%.3f".format(tsDefault - tsCorrected)} s — events-family ratios are fixed job+scan cost, not decode"}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ts-decode A/B FAILED: ${e.getMessage}"); ""
+    }
+
+    // Dedup/packing stage floors (r17 judge item #2): the three
+    // real-work weak entries at x1000 (simhash_neardups 4.1×,
+    // minhash_bands 3.4×, pack_sequences 5.4×) carried material wall
+    // with no in-artifact decomposition. Each is cut at its natural
+    // stage boundaries — sketch/tokenize-only scan, + the first
+    // shuffle (groups / bands-distinct / window), full committed
+    // query — so the dominant stage is named by measurement, not
+    // guess. Min-of-3 after one warm pass, same instrument as the
+    // other floor blocks.
+    val dedupStage = if (!blockOn("dedup_stage_floor")) "" else try {
+      import org.apache.spark.sql.functions._
+      awaitCalm(maxLoad = 2.0, budgetSec = 240)
+      def timed3(mk: => org.apache.spark.sql.DataFrame): Double = {
+        def once = {
+          val t0 = System.nanoTime()
+          mk.write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once // warm
+        (1 to 3).map(_ => once).min
+      }
+      def docs = Tables.loadParallel(spark, sfDir, "documents")
+      // pack_sequences: scan+token-count (no window) vs committed
+      val packScan = timed3(docs.select(col("doc_id"),
+          pmod(col("doc_id"), lit(8)).as("shard"),
+          (graft.plans.StringCount.countChar(col("text"), ' ') + 1).as("toks"))
+        .agg(count(lit(1)), bit_xor(col("toks"))))
+      val packFull = timed3(SparkEntry.queries("pack_sequences")(spark, sfDir))
+      // the rejected blocked-prefix-sum alternative, priced every run
+      // (r18 A/B: exchange + WindowExec row cost dominate, not sort
+      // parallelism — see Packing.packSequencesBlocked scaladoc)
+      val packBlocked = timed3 {
+        val d2 = docs.select(col("doc_id"),
+          pmod(col("doc_id"), lit(8)).as("shard"),
+          (graft.plans.StringCount.countChar(col("text"), ' ') + 1).as("toks"))
+        graft.operators.Packing.packSequencesBlocked(d2, col("shard"),
+            col("doc_id"), col("toks"), 2048L)
+          .groupBy("shard", "seq_id")
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+          .coalesce(1).sortWithinPartitions(col("shard"), col("seq_id"))
+      }
+      // simhash: sketch-only scan, + distinct-sketch groups, committed
+      val simSketch = timed3(docs.select(
+          graft.operators.Dedup.simhash(col("text")).as("sk"))
+        .agg(count(lit(1)), bit_xor(col("sk"))))
+      val simGroups = timed3(docs.select(col("doc_id").as("id"),
+          graft.operators.Dedup.simhash(col("text")).as("sk"))
+        .groupBy("sk").agg(min("id"), count(lit(1)))
+        .agg(count(lit(1))))
+      val simFull = timed3(SparkEntry.queries("simhash_neardups")(spark, sfDir))
+      // minhash_bands: bands-UDF explode (no distinct agg) vs committed
+      val mbUdf = graft.operators.Dedup.lshBandBucketsUdf(3, 16, 4)
+      val mbSketch = timed3(docs
+        .select(explode(mbUdf(col("text"))).as("b"))
+        .agg(count(lit(1)), bit_xor(col("b._2"))))
+      val mbFull = timed3(SparkEntry.queries("minhash_bands")(spark, sfDir))
+      def pct(stage: Double, full: Double): String =
+        "%.0f".format(100.0 * math.min(stage, full) / math.max(full, 1e-9))
+      s""","dedup_stage_floor":{"pack_scan_tokencount_s":${"%.3f".format(packScan)},"pack_full_s":${"%.3f".format(packFull)},"pack_blocked_alternative_s":${"%.3f".format(packBlocked)},"simhash_sketch_scan_s":${"%.3f".format(simSketch)},"simhash_plus_groups_s":${"%.3f".format(simGroups)},"simhash_full_s":${"%.3f".format(simFull)},"minhash_bands_udf_scan_s":${"%.3f".format(mbSketch)},"minhash_bands_full_s":${"%.3f".format(mbFull)},"verdict":"sketch/tokenize scan share: pack ${pct(packScan, packFull)}%, simhash ${pct(simSketch, simFull)}%, minhash ${pct(mbSketch, mbFull)}% — pack residual is exchange+WindowExec (blocked alternative priced above, rejected), sketch residuals are shuffle/join work"}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] dedup stage floor FAILED: ${e.getMessage}"); ""
     }
 
     // a6_pricing_summary floor probe (r14 judge item #3): the entry's
@@ -1373,14 +1452,19 @@ object Bench {
           if (!priorSf.contains(sfDir)) "" else {
             val pSeq = num("wall_seq_warm_sec")
             val pDuck = num("duckdb_wall_warm_sec")
-            val changes = "r16: denseLookupJoin overflow fallback " +
-              "budgeted (SHUFFLE_HASH above 256 MB est., broadcast " +
-              "below), bitmapSemiJoin auto-degrades maxKeys overflow " +
-              "to bloomSemiJoin and memoizes built probes under " +
-              "reuse=true (q3 stops re-paying its two eager builds), " +
-              "q3 ten-row attach collected to an isin scan probe, " +
-              "scale generator writes big facts with 122880-row " +
-              "groups (was 20k)"
+            // per-round constant: update alongside the round's plan
+            // changes (r17 advisory: this string still described r16
+            // while r17 had changed measured plans, so a delta would
+            // have been attributed to the wrong round's changes)
+            val changes = "r18: events day-grain queries compute day " +
+              "in int64 micros math (utcDay) and parquet NTZ " +
+              "inference is off (both casts removed per row), " +
+              "sessionize rewritten session_window->lag/cumsum, " +
+              "heavy_hitters feeds Misra-Gries from a codegen " +
+              "pre-count, mm_frames uses arithmetic frameStats (no " +
+              "slice materialization), p6 uses in-place case-folding " +
+              "contains (no lowered copy), a6 derives avgs from " +
+              "shared sum/count (8->4 agg buffers)"
             // ALSO compare against the same-HEAD sweep point (r14
             // judge item #6): BENCH_r14 said +7.8% vs r13 while the
             // same-HEAD BENCH_SCALE sf0.1 point said −18.5% — a 32%
@@ -1439,24 +1523,23 @@ object Bench {
             val subsetCmp: String = subsetThis.map { case (sparkPer, duckPer, both) =>
               try {
                 import scala.jdk.CollectionConverters._
+                // the decomposition prior is pinned to the SAME round
+                // as prior_round_comparison (r17 advisory: the two
+                // blocks selected priors independently — max
+                // BENCH_r{N}.json in cwd vs max bench_history file —
+                // so out-of-sync sets produced one comparison object
+                // whose deltas came from different rounds, and a
+                // rerun at a committed round decomposed against its
+                // own artifact, vacuously)
                 val histDir = Paths.get("bench_history")
-                val prior =
-                  if (!Files.isDirectory(histDir)) None
-                  else {
-                    val st = Files.list(histDir)
-                    try st.iterator().asScala.flatMap { p =>
-                      "BENCH_FULL_r(\\d+)\\.json".r
-                        .findFirstMatchIn(p.getFileName.toString)
-                        .map(m => (m.group(1).toInt, p))
-                    }.toSeq.sortBy(-_._1).headOption
-                    finally st.close()
-                  }
+                val prior = Some(histDir.resolve(s"BENCH_FULL_r$rn.json"))
+                  .filter(Files.exists(_)).map(p => (rn, p))
                 prior match {
                   case None =>
-                    s""","subset_decomposition_error":"no bench_history/BENCH_FULL_r*.json prior with full per-query maps; this run writes bench_history/BENCH_FULL_latest.json — name it BENCH_FULL_r{N}.json and commit it""""
-                  case Some((prn, path)) =>
+                    s""","subset_decomposition_error":"bench_history/BENCH_FULL_r$rn.json missing — the decomposition prior must be the SAME round as prior_round_comparison (BENCH_r$rn.json); commit the full artifact under that name""""
+                  case Some((prn, fullPath)) =>
                     val node = new com.fasterxml.jackson.databind.ObjectMapper()
-                      .readTree(Files.readString(path))
+                      .readTree(Files.readString(fullPath))
                     def qmap(n: com.fasterxml.jackson.databind.JsonNode)
                       : Map[String, Double] =
                       n.properties().asScala
@@ -1528,10 +1611,18 @@ object Bench {
     // labeled: per-query seconds come from the warm PAR=1 pass (r01/
     // r02 recorded contended concurrent times under the same key).
     val loadAfter = loadSnapshot()
+    // this run's provenance (r17 advisory: gitHead was dead code and
+    // no key tied a bench artifact to the code it measured): run_head
+    // is the commit the numbers attribute to, nulled when the working
+    // tree is dirty over src/main+build.sbt — a dirty run's numbers
+    // belong to no commit, and downstream same-HEAD cross-checks must
+    // not treat them as that commit's.
+    val treeDirty = sourceDirty()
+    val runHead = if (treeDirty) None else gitHead()
     val headline =
-      s""""value":${"%.3f".format(wallPar)},"unit":"sec","schema_version":8,"wall_par${par}_postwarm_sec":${"%.3f".format(wallPar)},"wall_par${par}_coldplans_sec":${"%.3f".format(wallParCold)},"wall_seq_warm_sec":${"%.3f".format(wallSeq)},"sum_query_sec":${"%.3f".format(good.map(_.sec).sum)},"parallelism":$par,"n_queries":${outSeq.size},"queries_methodology":"seq_warm_par1_min2_min3_top15_and_ge0p8","jvm_max_heap_mb":${Runtime.getRuntime.maxMemory() >> 20},"idle_gate":$gate,"load_before":$loadBefore,"load_after":$loadAfter"""
+      s""""value":${"%.3f".format(wallPar)},"unit":"sec","schema_version":8,"run_head":${runHead.map("\"" + _ + "\"").getOrElse("null")},"run_tree_dirty":$treeDirty,"wall_par${par}_postwarm_sec":${"%.3f".format(wallPar)},"wall_par${par}_coldplans_sec":${"%.3f".format(wallParCold)},"wall_seq_warm_sec":${"%.3f".format(wallSeq)},"sum_query_sec":${"%.3f".format(good.map(_.sec).sum)},"parallelism":$par,"n_queries":${outSeq.size},"queries_methodology":"seq_warm_par1_min2_min3_top15_and_ge0p8","jvm_max_heap_mb":${Runtime.getRuntime.maxMemory() >> 20},"idle_gate":$gate,"load_before":$loadBefore,"load_after":$loadAfter"""
     val json =
-      s"""{"metric":"total",$headline,"queries":$qs,"errors":$errs,"errors_par_only":$parOnlyErrs,"excluded_queries":$excludedJson,"skipped_blocks":${skippedBlocks.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}$duck$vector$skew$pcAb$scanFloor$dljAb$a6Floor$q3Floor$asofFloor$a8Fixed$probePaths$probeDegrade$tsDecodeAb$joinFloor$segTp$stState$clusterProbe$suiteFixedCost$priorCmp,"sf":"$sfDir"}"""
+      s"""{"metric":"total",$headline,"queries":$qs,"errors":$errs,"errors_par_only":$parOnlyErrs,"excluded_queries":$excludedJson,"skipped_blocks":${skippedBlocks.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}$duck$vector$skew$pcAb$scanFloor$dljAb$a6Floor$q3Floor$asofFloor$a8Fixed$probePaths$probeDegrade$tsDecodeAb$dedupStage$joinFloor$segTp$stState$clusterProbe$suiteFixedCost$priorCmp,"sf":"$sfDir"}"""
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), json)
     // committed full-artifact sidecar (r16 judge item #3): the driver's

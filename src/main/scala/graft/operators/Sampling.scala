@@ -72,11 +72,19 @@ object Sampling {
       }
     }
     // limit(maxStrata+1) bounds what can ever reach the driver; the
-    // +1 row, if present, proves the overflow without collecting it all
-    val counts = df.groupBy(stratumCol.as("_s")).agg(count(lit(1)).as("_n"))
+    // +1 row, if present, proves the overflow without collecting it
+    // all. Null strata are filtered BEFORE the limit (r17 advisory):
+    // with exactly maxStrata+1 real strata plus a null stratum, the
+    // arbitrary limit could keep the null row and drop a real one —
+    // passing the guard while silently assigning that stratum the
+    // default rate. Null-stratum rows never had a rate either way
+    // (the old flatMap dropped them post-limit), so semantics are
+    // unchanged; only the guard's view is now exact.
+    val counts = df.filter(stratumCol.isNotNull)
+      .groupBy(stratumCol.as("_s")).agg(count(lit(1)).as("_n"))
       .limit(maxStrata + 1)
       .collect()
-      .flatMap(r => Option(r.get(0)).map(s => s.toString -> r.getLong(1)))
+      .map(r => r.get(0).toString -> r.getLong(1))
     require(counts.length <= maxStrata,
       s"temperatureMix: more than $maxStrata distinct strata — the " +
         "stratum column looks row-grained (pass a domain/language-class " +
