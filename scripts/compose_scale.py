@@ -52,6 +52,72 @@ METHOD = (
 )
 
 
+def subset_members(art, excluded):
+    """Names + per-query maps of the real-oracle subset of one
+    artifact (None when the artifact carries no DuckDB baseline)."""
+    sub = art.get("real_oracle_subset")
+    duck = art.get("duckdb_oracle", {}).get("queries", {})
+    if not sub or not duck:
+        return None
+    side = set(sub.get("excluded_side_effecting", []))
+    sq = art["queries"]
+    names = [n for n in sq if n in duck and n not in side
+             and n not in excluded]
+    return names, sq, duck
+
+
+def prior_point_comparison(art, prior_art):
+    """r18 judge item (What's missing #1): decompose a sweep point's
+    subset-ratio move vs the SAME point of the prior round's sweep —
+    spark-side vs duckdb-side vs composition (membership) — so moves
+    like x1000 0.45x -> 0.76x are explained in-artifact instead of
+    silent. Deltas are summed over members present in BOTH rounds;
+    members added/removed are the composition share."""
+    this = subset_members(art, [])
+    prev = subset_members(prior_art, [])
+    if this is None or prev is None:
+        return {"error": "one side has no duckdb baseline"}
+    tn, tsq, tdq = this
+    pn, psq, pdq = prev
+    common = sorted(set(tn) & set(pn))
+    added = sorted(set(tn) - set(pn))
+    removed = sorted(set(pn) - set(tn))
+
+    def ratio(names, sq, dq):
+        ds = sum(dq[n] for n in names)
+        return round(sum(sq[n] for n in names) / ds, 3) if ds else None
+
+    movers = sorted(
+        ((n, round(tsq[n] - psq[n], 3), round(tdq[n] - pdq[n], 3))
+         for n in common),
+        key=lambda t: -abs(t[1]))[:6]
+    return {
+        "prior_head": prior_art.get("_prior_head"),
+        "common_n": len(common),
+        "members_added": added, "members_removed": removed,
+        "prior_subset_ratio": ratio(pn, psq, pdq),
+        "this_subset_ratio": ratio(tn, tsq, tdq),
+        "common_only_prior_ratio": ratio(common, psq, pdq),
+        "common_only_this_ratio": ratio(common, tsq, tdq),
+        "common_spark_delta_sum_s":
+            round(sum(tsq[n] - psq[n] for n in common), 3),
+        "common_duckdb_delta_sum_s":
+            round(sum(tdq[n] - pdq[n] for n in common), 3),
+        "top_movers_spark_s": [
+            {"name": n, "spark_delta_s": s, "duckdb_delta_s": d}
+            for n, s, d in movers],
+        "note": "common-members ratios isolate code+env movement; "
+                "membership changes and duckdb-side deltas are the "
+                "composition/oracle share of the headline move. "
+                "Membership here = every query with a DuckDB-recomputed "
+                "time (INCLUDING the VALUES-pin oracles the artifact's "
+                "own real_oracle_subset excludes), so absolute levels "
+                "sit slightly above the headline ratio; the DELTAS and "
+                "the prior-vs-this comparison use the same rule on both "
+                "sides and are exact",
+    }
+
+
 def subset(art, excluded):
     sub = art.get("real_oracle_subset")
     duck = art.get("duckdb_oracle", {}).get("queries", {})
@@ -69,12 +135,38 @@ def subset(art, excluded):
             "ratio": round(spark_sum / duck_sum, 2) if duck_sum else None}
 
 
+def load_prior_sweep():
+    """Newest committed bench_history/BENCH_SCALE_r{N}.json — the
+    prior round's sweep, snapshotted before each new sweep lands."""
+    import glob
+    import re as _re
+    cands = sorted(glob.glob("bench_history/BENCH_SCALE_r*.json"),
+                   key=lambda p: int(_re.search(r"r(\d+)", p).group(1)))
+    if not cands:
+        return None
+    prior = json.load(open(cands[-1]))
+    prior["_path"] = cands[-1]
+    return prior
+
+
 def main():
     out, pairs = sys.argv[1], sys.argv[2:]
+    prior_sweep = load_prior_sweep()
+    prior_points = {}
+    if prior_sweep:
+        for p in prior_sweep.get("points", []):
+            fa = p.get("full_artifact")
+            if fa is not None:
+                # match on the label's leading token (the scale name);
+                # suffixes like "(17 GB, reduced suite)" may drift
+                key = p.get("label", "").split(" ")[0]
+                fa["_prior_head"] = prior_sweep.get("head")
+                prior_points[key] = fa
     points, trend_bits = [], {"full": [], "conservative": [], "r3": []}
     for pair in pairs:
         label, path = pair.split("=", 1)
         art = json.load(open(path))
+        prior_art = prior_points.get(label.split(" ")[0])
         point = {
             "label": label,
             "spark_wall_par8_postwarm_sec": art.get("wall_par8_postwarm_sec"),
@@ -85,6 +177,11 @@ def main():
             "real_oracle_subset": art.get("real_oracle_subset"),
             "subset_excl_all_lambda_heavy": subset(art, LAMBDA_HEAVY),
             "subset_r3_comparable_excl_round4_oracles": subset(art, R3_EXCLUDED),
+            "prior_point_comparison":
+                prior_point_comparison(art, prior_art)
+                if prior_art is not None else
+                {"error": "no prior-sweep point with this label in "
+                          "bench_history/BENCH_SCALE_r*.json"},
             "full_artifact": art,
         }
         points.append(point)

@@ -65,8 +65,31 @@ SPARK_GRAFT_EXCLUDE=range_join,contamination,doc_fingerprint,langid_confusion,qu
 SPARK_GRAFT_SKIP_BLOCKS=vector,skew_join_planted,proximity_count_ab,segmenter_sustained,streaming_state_sustained,tail_attribution \
   run_point /tmp/scale/x1000 /tmp/scale/bench_x1000.json
 
+# x2000 (~34 GB, r19): the BIGGER-THAN-HEAP point (r17/r18 wishlist
+# item, third deferral closed) — input is 2x the 32 GiB heap, so scans
+# + shuffles + the page cache CANNOT all fit in memory and the spill/
+# re-read paths run for real for the first time. HEAVY FAMILY ONLY
+# (SPARK_GRAFT_ONLY, disclosed in-artifact as only_queries): the full
+# 130-query suite's DuckDB side would run for hours at 34 GB, and the
+# point exists to exercise the heavy operators' memory posture, not to
+# re-measure the fixed-cost tail. Data: scripts/gen_scale.py x2000
+# (same production layout); floor blocks kept (q3/dedup stage floors,
+# probe_paths); everything else skipped.
+if [ -d /tmp/scale/x2000 ]; then
+  idle_wait
+  SPARK_DRIVER_MEM=32g \
+  SPARK_GRAFT_ONLY=salted_join,q3_shipping,pack_sequences,minhash_neardups,simhash_neardups,minhash_bands,dedup_clusters,lang_stopwords,sessionize,a6_pricing_summary,heavy_hitters,a1_sum \
+  SPARK_GRAFT_SKIP_BLOCKS=vector,skew_join_planted,proximity_count_ab,segmenter_sustained,streaming_state_sustained,tail_attribution,ts_decode_ab,a8_fixed_cost,asof_floor,join_floor_profile,dense_lookup_ab,a6_floor_ab \
+    run_point /tmp/scale/x2000 /tmp/scale/bench_x2000.json
+  X2000_POINT="2000x sf0.1 (34 GB, heavy family, input > heap)=/tmp/scale/bench_x2000.json"
+else
+  echo "[run_scale] /tmp/scale/x2000 missing — generate with scripts/gen_scale.py to include the bigger-than-heap point" >&2
+  X2000_POINT=""
+fi
+
 python3 scripts/compose_scale.py BENCH_SCALE.json \
   "sf0.1 (17 MB, driver scale)=/tmp/scale/bench_sf01.json" \
   "10x sf0.1 (170 MB)=/tmp/scale/bench_x10.json" \
   "100x sf0.1 (1.7 GB)=/tmp/scale/bench_x100.json" \
-  "1000x sf0.1 (17 GB, reduced suite)=/tmp/scale/bench_x1000.json"
+  "1000x sf0.1 (17 GB, reduced suite)=/tmp/scale/bench_x1000.json" \
+  ${X2000_POINT:+"$X2000_POINT"}

@@ -575,20 +575,29 @@ object SparkEntry {
       // the attach eager, consistent with the probes' documented
       // eager-snapshot posture.
       val topRows = top.collect()
-      val topLocal = s.createDataFrame(
-        java.util.Arrays.asList(topRows: _*), top.schema)
       val keys10 = topRows.map(_.get(0)).toSeq
-      val attach = o.select(col("o_orderkey"),
-        to_date(col("o_orderdate")).as("order_date"), col("o_orderpriority"))
+      // r19: the ten aggregated revenues attach as a LITERAL MAP
+      // (orderkey → revenue) evaluated inside the orders scan — the
+      // r18 form joined a broadcast 10-row LocalRelation, paying a
+      // BroadcastExchange stage + a join operator per run for ten
+      // rows. element_at on a 10-entry map literal is a codegen
+      // lookup; the isin probe still PUSHES INTO the orders scan
+      // (PushedFilters In(o_orderkey, …) → row-group pruning at
+      // scale). No exchange, no join, one scan job.
+      val revCol =
+        if (topRows.isEmpty) lit(null).cast("double")
+        else element_at(
+          map(topRows.flatMap(r => Seq(lit(r.get(0)), lit(r.get(1)))): _*),
+          col("o_orderkey"))
+      o.select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("order_date"), col("o_orderpriority"))
         .filter(if (keys10.isEmpty) lit(false)
                 else col("o_orderkey").isin(keys10: _*))
-      // TakeOrdered for the final 10-row sort — NOT coalesce(1): a
-      // coalesce here would pull the whole attach scan into one task
-      // (measured +0.86 s at x100)
-      attach.join(broadcast(topLocal),
-          topLocal("l_orderkey") === attach("o_orderkey"))
-        .select(col("l_orderkey"), col("order_date"), col("o_orderpriority"),
-          col("revenue"))
+        // TakeOrdered for the final 10-row sort — NOT coalesce(1): a
+        // coalesce here would pull the whole attach scan into one task
+        // (measured +0.86 s at x100)
+        .select(col("o_orderkey").as("l_orderkey"), col("order_date"),
+          col("o_orderpriority"), revCol.as("revenue"))
         .orderBy(desc("revenue"), col("l_orderkey"))
         .limit(10)
     }),
@@ -888,7 +897,7 @@ object SparkEntry {
       // reuses the window's partitioning — vs session_window's
       // ObjectHashAggregate doing per-row session-buffer merges
       // (2.19 s → this form at the 100 M-row point; whole chain stays
-      // in codegen). SparkEntrySpec pins the two forms equal.
+      // in codegen). SessionizeSpec pins the two forms equal.
       val byUser = Window.partitionBy("user_id").orderBy("tsu")
       val gapUs = lit(30L * 60 * 1000000)
       t(s, d, "events").filter(col("user_id") < 10)

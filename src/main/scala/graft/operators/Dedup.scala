@@ -59,7 +59,7 @@ object Dedup {
     * regex matcher, and a BOXED ArrayBuffer[Long] of token hashes —
     * none of which touch the hash math. Primitive array out, grown
     * geometrically; no allocation beyond it on the fast path. */
-  private[operators] def tokenHashes(text: String): Array[Long] = {
+  private[graft] def tokenHashes(text: String): Array[Long] = {
     if (text == null) return Array.emptyLongArray
     val n = text.length
     var ascii = true
@@ -97,10 +97,14 @@ object Dedup {
     if (cnt == out.length) out else java.util.Arrays.copyOf(out, cnt)
   }
 
-  /** The original tokenize-and-hash pipeline, kept verbatim as the
-    * non-ASCII fallback (and the spec's reference semantics). */
+  /** The original tokenize-and-hash pipeline, kept as the non-ASCII
+    * fallback (and the spec's reference semantics). Locale.ROOT (r18
+    * advisory): the ASCII fast path folds locale-independently, so the
+    * fallback must too — under a Turkish/Azeri DEFAULT locale a bare
+    * `toLowerCase` maps 'I' to dotless 'ı', making an all-ASCII doc
+    * and a mixed-script doc hash the same ASCII token differently. */
   private def tokenHashesRegex(text: String): Array[Long] = {
-    val m = tokenPattern.matcher(text.toLowerCase)
+    val m = tokenPattern.matcher(text.toLowerCase(java.util.Locale.ROOT))
     var out = new Array[Long](16)
     var cnt = 0
     while (m.find()) {
@@ -274,7 +278,16 @@ object Dedup {
     while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
   })
-  def simhash(text: Column): Column = simhashUdf(text)
+  /** r19: the committed simhash is the codegen in-place expression
+    * ([[graft.plans.TextScan.simhash64]] — byte tokenizer + bit-sliced
+    * ±1 counters, bit-identical by construction and fuzz-pinned in
+    * TextScanSpec); [[simhashUdf]] above stays as the reference
+    * semantics. At x1000 the UDF's per-token 64-iteration counter loop
+    * plus the String decode was 95 % of simhash_neardups' 3.9 s
+    * (dedup_stage_floor). */
+  def simhash(text: Column): Column =
+    // coalesce preserves the UDF's null contract (null text → sketch 0)
+    coalesce(graft.plans.TextScan.simhash(text), lit(0L))
 
   /** SimHash near-duplicate candidate pairs: band the 64-bit sketch
     * into 4×16-bit buckets, candidates from band equi-joins only, then

@@ -844,15 +844,17 @@ object Relational {
             "a dense lookup cannot express row multiplication; dedupe the " +
             "dim or use a plain join")
       case Some(p) =>
-        // trim regrow slack to the exact [mn, mx] span before broadcast
-        val len = (p.mx - p.mn + 1).toInt
-        val off = (p.mn - p.base).toInt
+        // trim regrow slack to the exact (64-aligned) [mn, mx] span
+        // before broadcast — word-granular at the packed layout
+        val tb = floorAlign64(p.mn)
+        val offW = ((tb - p.base) >> (6 - pkLog2(p.width))).toInt
+        val lenW = pkWords(p.mx - tb + 1, p.width).toInt
         val codes =
-          if (off == 0 && p.codes.length == len) p.codes
-          else java.util.Arrays.copyOfRange(p.codes, off, off + len)
+          if (offW == 0 && p.codes.length == lenW) p.codes
+          else java.util.Arrays.copyOfRange(p.codes, offW, offW + lenW)
         val bc = spark.sparkContext.broadcast(codes)
-        val codeCol = ColumnBridge.column(graft.plans.DenseByteLookup(
-          ColumnBridge.expression(fact(factKey).cast("long")), bc, p.mn))
+        val codeCol = ColumnBridge.column(graft.plans.DensePackedLookup(
+          ColumnBridge.expression(fact(factKey).cast("long")), bc, tb, p.width))
         fact.withColumn("_dlj_code", codeCol)
           .where(col("_dlj_code") >= 0)
           .withColumn(valueCol,
@@ -862,26 +864,96 @@ object Relational {
     }
   }
 
-  /** Partial build state for [[denseLookupJoin]]: a local codes array
-    * anchored at `base` (code `codes(k - base)`, −1 = absent), the
+  /** Partial build state for [[denseLookupJoin]]: a local BIT-PACKED
+    * codes array anchored at `base` (a multiple of 64 — keeps every
+    * repack/merge copy word-aligned at any width), entry `k - base`
+    * holding `code + 1` in `width` bits (stored 0 = absent), the
     * partition's insertion-order dictionary the codes index into, the
     * first duplicate key seen (if any), and an `overflow` flag meaning
-    * "out of contract — take the broadcast-join fallback" (span >
-    * maxCodesBytes or >127 distinct payload values). */
+    * "out of contract — take the join fallback" (span × width/8 >
+    * maxCodesBytes, or >127 distinct payload values).
+    *
+    * Width starts at 1 BIT and doubles only when the dictionary
+    * outgrows it (capacity 2^w − 1 values), so a dim filtered to one
+    * payload value — the common attach-a-constant shape — packs at
+    * one bit per key of span: 8× smaller than the r14 byte codes.
+    * That factor is what keeps the x1000 salted_join (600 M-key
+    * orders span ≈ 75 MB at 1 bit vs 600 MB at a byte) INSIDE the
+    * broadcast budget, so the probe stays scan-fused at the scale
+    * point where the byte form degraded to a shuffle join; at every
+    * smaller point it ships 8× fewer bytes and probes a
+    * cache-friendlier array. */
   private final case class CodesPartial(count: Long, mn: Long, mx: Long,
-      base: Long, codes: Array[Byte], dict: Array[Any],
+      base: Long, width: Int, codes: Array[Long], dict: Array[Any],
       dup: Option[Long], overflow: Boolean)
 
   private val codesOverflow =
-    CodesPartial(0L, 0L, 0L, 0L, null, null, None, overflow = true)
+    CodesPartial(0L, 0L, 0L, 0L, 1, null, null, None, overflow = true)
+
+  // ---- packed-entry helpers (width ∈ {1,2,4,8}) ----------------------
+  @inline private def pkLog2(w: Int): Int =
+    Integer.numberOfTrailingZeros(w)
+  /** capacity in distinct dict values at width `w` (stored 0 = absent) */
+  @inline private def pkCapacity(w: Int): Int = (1 << w) - 1
+  @inline private def widthFor(dictSize: Int): Int =
+    if (dictSize <= 1) 1 else if (dictSize <= 3) 2
+    else if (dictSize <= 15) 4 else 8
+  /** entries that fit `words` longs at width `w` */
+  @inline private def pkEntries(words: Int, w: Int): Long =
+    words.toLong << (6 - pkLog2(w))
+  /** words needed for `entries` entries at width `w` */
+  @inline private def pkWords(entries: Long, w: Int): Long = {
+    val shift = 6 - pkLog2(w)
+    (entries + (1L << shift) - 1) >> shift
+  }
+  @inline private def pkGet(codes: Array[Long], w: Int, idx: Long): Int = {
+    val l2 = pkLog2(w); val shift = 6 - l2
+    ((codes((idx >>> shift).toInt) >>> ((idx.toInt & ((1 << shift) - 1)) << l2))
+      & ((1L << w) - 1L)).toInt - 1
+  }
+  @inline private def pkSet(codes: Array[Long], w: Int, idx: Long,
+                            code: Int): Unit = {
+    val l2 = pkLog2(w); val shift = 6 - l2
+    val wi = (idx >>> shift).toInt
+    val bit = (idx.toInt & ((1 << shift) - 1)) << l2
+    codes(wi) = (codes(wi) & ~(((1L << w) - 1L) << bit)) |
+      ((code + 1).toLong << bit)
+  }
+  /** max words the broadcast budget admits (bytes = words × 8) */
+  @inline private def pkMaxWords(maxCodesBytes: Long): Int =
+    math.max(1L, maxCodesBytes >> 3).toInt
+
+  /** Repack `codes` (width `ow`, `entries` allocated entries) to width
+    * `nw` > ow. Word-by-word fan-out: a source word of 64/ow entries
+    * expands into nw/ow consecutive target words; all-absent (zero)
+    * source words skip in one branch. */
+  private def pkRepack(codes: Array[Long], ow: Int, nw: Int,
+                       entries: Long): Array[Long] = {
+    val out = new Array[Long](pkWords(entries, nw).toInt)
+    var i = 0L
+    while (i < entries) {
+      // skip whole absent source words
+      val sShift = 6 - pkLog2(ow)
+      if ((i & ((1L << sShift) - 1)) == 0 &&
+          codes((i >>> sShift).toInt) == 0L) {
+        i += (1L << sShift)
+      } else {
+        val s = pkGet(codes, ow, i)
+        if (s >= 0) pkSet(out, nw, i, s)
+        i += 1
+      }
+    }
+    out
+  }
 
   private def buildCodesPartial(it: Iterator[(Long, Any)],
                                 maxCodesBytes: Long): Iterator[CodesPartial] = {
     if (!it.hasNext) return Iterator.empty
-    val maxLen = maxCodesBytes.toInt
+    val maxWords = pkMaxWords(maxCodesBytes)
     var count = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
     var base = 0L
-    var codes: Array[Byte] = null
+    var width = 1
+    var codes: Array[Long] = null
     val dict = new scala.collection.mutable.ArrayBuffer[Any]
     val codeOf = new java.util.HashMap[Any, Integer]
     var dup: Option[Long] = None
@@ -902,58 +974,72 @@ object Relational {
             case other => other
           }
           c = Integer.valueOf(dict.length); dict += stable; codeOf.put(stable, c)
+          if (dict.length > pkCapacity(width)) {
+            // widen one step (dict grows by 1, so a single doubling
+            // always suffices); the wider span may break the budget.
+            // Repack only the OCCUPIED entry range [0, mx - base] —
+            // allocation slack beyond it is all-absent; the grow path
+            // below re-extends as needed.
+            val nw = width << 1
+            if (codes != null) {
+              val used = mx - base + 1
+              if (pkWords(used, nw) > maxWords) overflow = true
+              else codes = pkRepack(codes, width, nw,
+                math.min(pkEntries(codes.length, width), used))
+            }
+            if (!overflow) width = nw
+          }
         }
       }
       if (!overflow) {
         if (codes == null) {
-          base = k
-          codes = new Array[Byte](math.min(maxLen, 4096))
-          java.util.Arrays.fill(codes, (-1).toByte)
+          base = floorAlign64(k)
+          codes = new Array[Long](math.min(maxWords, 512))
         }
-        var idx = k - base // wraps NEGATIVE on overflow → grow path
-        if (idx < 0 || idx >= codes.length) {
-          val newBase = math.min(k, base)
+        var idx = k - base
+        if (idx < 0 || idx >= pkEntries(codes.length, width)) {
+          val newBase = floorAlign64(math.min(k, base))
           val spanB = BigInt(mx) - BigInt(newBase) + 1
-          if (spanB > maxLen) overflow = true
+          if (spanB > (1L << 62) || pkWords(spanB.toLong, width) > maxWords)
+            overflow = true
           else {
-            val req = spanB.toInt
-            val allocLen = math.min(maxLen.toLong,
-              math.max(req.toLong, codes.length.toLong * 2)).toInt
-            val na = new Array[Byte](allocLen)
-            java.util.Arrays.fill(na, (-1).toByte)
-            val o = (base - newBase).toInt
+            val req = pkWords(spanB.toLong, width)
+            val allocW = math.min(maxWords.toLong,
+              math.max(req, codes.length.toLong * 2)).toInt
+            val na = new Array[Long](allocW)
+            // base and newBase are both 64-aligned → word-aligned copy
+            val o = ((base - newBase) >> (6 - pkLog2(width))).toInt
             System.arraycopy(codes, 0, na, o,
-              math.min(codes.length, allocLen - o))
+              math.min(codes.length, allocW - o))
             base = newBase; codes = na
             idx = k - base
           }
         }
         if (!overflow) {
-          val i = idx.toInt
-          if (codes(i) != -1 && dup.isEmpty) dup = Some(k)
-          codes(i) = c.byteValue()
+          if (pkGet(codes, width, idx) >= 0 && dup.isEmpty) dup = Some(k)
+          pkSet(codes, width, idx, c.intValue())
         }
       }
     }
     val p = if (overflow) codesOverflow
-            else CodesPartial(count, mn, mx, base, codes, dict.toArray, dup,
-              overflow = false)
+            else CodesPartial(count, mn, mx, base, width, codes,
+              dict.toArray, dup, overflow = false)
     Iterator.single(p)
   }
 
   /** Pairwise merge for [[denseLookupJoin]] partials (executors in
-    * the tree level, driver at the root):
-    * remaps `b`'s dictionary codes into `a`'s dictionary (extending it,
-    * overflow past 127), overlays `b`'s codes at the combined base, and
+    * the tree level, driver at the root): unions the dictionaries
+    * (a's codes stay, b's values remap), widens to the union's
+    * required width, overlays b's packed entries word-by-word (zero
+    * source words — all-absent — skip in one branch, so range-local
+    * partials from a clustered dim merge at memcpy-class speed), and
     * detects cross-partition duplicate keys. */
   private def mergeCodesPartials(a: CodesPartial, b: CodesPartial,
                                  maxCodesBytes: Long): CodesPartial = {
     if (a.overflow) return a
     if (b.overflow) return b
+    val maxWords = pkMaxWords(maxCodesBytes)
     val cmn = math.min(a.mn, b.mn); val cmx = math.max(a.mx, b.mx)
-    val spanB = BigInt(cmx) - BigInt(cmn) + 1
-    if (spanB > maxCodesBytes) return codesOverflow
-    val len = spanB.toInt
     // dictionary union: a's codes stay, b's values remap
     val dict = scala.collection.mutable.ArrayBuffer[Any](
       a.dict.toIndexedSeq: _*)
@@ -962,7 +1048,7 @@ object Relational {
     while (ai < a.dict.length) {
       idxOf.put(a.dict(ai), Integer.valueOf(ai)); ai += 1
     }
-    val remap = new Array[Byte](b.dict.length)
+    val remap = new Array[Int](b.dict.length)
     var bi = 0
     while (bi < b.dict.length) {
       val v = b.dict(bi)
@@ -971,35 +1057,52 @@ object Relational {
         if (dict.length >= 127) return codesOverflow
         c = Integer.valueOf(dict.length); dict += v; idxOf.put(v, c)
       }
-      remap(bi) = c.byteValue()
+      remap(bi) = c.intValue()
       bi += 1
     }
-    // target: reuse a's array when it already covers the union span
+    val w = math.max(widthFor(dict.length), math.max(a.width, b.width))
+    val spanB = BigInt(cmx) - BigInt(cmn) + 1
+    if (spanB > (1L << 62) || pkWords(spanB.toLong, w) > maxWords)
+      return codesOverflow
+    // target: reuse a's array when it is already at width w and covers
+    // the union span from its own (aligned) base
+    val aCodesW =
+      if (a.width == w) a.codes
+      else pkRepack(a.codes, a.width, w, pkEntries(a.codes.length, a.width))
     val (tBase, target) =
-      if (a.base <= cmn &&
-          BigInt(cmx) - BigInt(a.base) < a.codes.length) (a.base, a.codes)
+      if (a.base <= cmn && cmx - a.base < pkEntries(aCodesW.length, w))
+        (a.base, aCodesW)
       else {
-        val na = new Array[Byte](len)
-        java.util.Arrays.fill(na, (-1).toByte)
-        val o = (a.base - cmn).toInt
-        System.arraycopy(a.codes, 0, na, o,
-          math.min(a.codes.length, len - o))
-        (cmn, na)
+        val nb = floorAlign64(cmn)
+        val na = new Array[Long](pkWords(cmx - nb + 1, w).toInt)
+        val o = ((a.base - nb) >> (6 - pkLog2(w))).toInt
+        System.arraycopy(aCodesW, 0, na, o,
+          math.min(aCodesW.length, na.length - o))
+        (nb, na)
       }
     var dup = a.dup.orElse(b.dup)
-    val bOff = (b.base - tBase).toInt
-    val bLim = math.min(b.codes.length, target.length - bOff)
-    var i = 0
-    while (i < bLim) {
-      val c = b.codes(i)
-      if (c != -1) {
-        val gi = bOff + i
-        if (target(gi) != -1 && dup.isEmpty) dup = Some(b.base + i)
-        target(gi) = remap(c)
+    // overlay b: word loop with an all-absent fast path; identity
+    // remaps of non-colliding words could copy wholesale, but the
+    // per-entry path is already bounded by b's occupied words
+    val bShift = 6 - pkLog2(b.width)
+    val bEnts = math.min(pkEntries(b.codes.length, b.width),
+      b.mx - b.base + 1)
+    var i = 0L
+    while (i < bEnts) {
+      if ((i & ((1L << bShift) - 1)) == 0 &&
+          b.codes((i >>> bShift).toInt) == 0L) {
+        i += (1L << bShift)
+      } else {
+        val s = pkGet(b.codes, b.width, i)
+        if (s >= 0) {
+          val gi = (b.base + i) - tBase
+          if (pkGet(target, w, gi) >= 0 && dup.isEmpty) dup = Some(b.base + i)
+          pkSet(target, w, gi, remap(s))
+        }
+        i += 1
       }
-      i += 1
     }
-    CodesPartial(a.count + b.count, cmn, cmx, tBase, target,
+    CodesPartial(a.count + b.count, cmn, cmx, tBase, w, target,
       dict.toArray, dup, overflow = false)
   }
 }

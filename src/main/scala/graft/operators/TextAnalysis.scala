@@ -22,20 +22,29 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不"))
 
   /** Count of whole-word stopword hits (incl. repeats) for one
-    * language. Compiled single pass (split + set membership) — the
-    * equivalent HOF filter is interpreted per element. */
-  def stopwordHits(text: Column, lang: String): Column = {
+    * language. r19: a codegen in-place byte scan
+    * ([[graft.plans.TextScan.stopwordHits]]) — the r18 UDF form paid a
+    * full UTF8String→String decode + toLowerCase copy + split array
+    * per row, which WAS lang_stopwords' 6.2×/4.8 s wall at the 17 GB
+    * point. [[stopwordHitsUdf]] keeps the old pipeline as the
+    * reference semantics; TextScanSpec fuzz-pins the two equal. */
+  def stopwordHits(text: Column, lang: String): Column =
+    // coalesce preserves the UDF's null contract (null text → 0 hits)
+    coalesce(graft.plans.TextScan.stopwordCount(text, stopwords(lang)), lit(0))
+
+  /** The original compiled-UDF stopword counter, kept verbatim as the
+    * spec's reference semantics for [[stopwordHits]]. */
+  def stopwordHitsUdf(lang: String): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val set = stopwords(lang).toSet
-    val u = udf((s: String) =>
+    udf((s: String) =>
       if (s == null) 0
       else {
-        val toks = s.toLowerCase.split("\\s+")
+        val toks = s.toLowerCase(java.util.Locale.ROOT).split("\\s+")
         var hits = 0
         var i = 0
         while (i < toks.length) { if (set.contains(toks(i))) hits += 1; i += 1 }
         hits
       })
-    u(text)
   }
 
   /** Language-ID heuristic: argmax over per-language stopword hit

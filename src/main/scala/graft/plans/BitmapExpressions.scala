@@ -133,23 +133,35 @@ case class LongSetContains(child: Expression,
     copy(child = newChild)
 }
 
-/** `DenseByteLookup(key, codes, min)`: dictionary-CODE lookup against
-  * a broadcast dense byte array — the value-attaching sibling of
-  * [[BitmapContains]], probe side of
-  * [[graft.operators.Relational.denseLookupJoin]]. Returns the code
-  * at `codes[key − min]` (0..126), or −1 when the key is out of range
-  * or absent (the fill sentinel); the caller filters `≥ 0` (inner-join
-  * semantics) and decodes via a literal dictionary array. Replaces a
-  * broadcast hash join whose driver chain (serial UnsafeRow
-  * HashedRelation build + 254 MB transmit at the x100 point) was ~60%
-  * of the join's wall with a ~30 ms array fill, a span-bytes
-  * broadcast, and this O(1) branch-free codegen probe — no join
-  * operator in the plan. Null keys yield null (inner joins never
-  * match null). */
-case class DenseByteLookup(child: Expression,
-                           codes: Broadcast[Array[Byte]],
-                           min: Long)
+/** `DensePackedLookup(key, codes, min, width)`: dictionary-CODE
+  * lookup against a broadcast BIT-PACKED dense array — the
+  * value-attaching sibling of [[BitmapContains]], probe side of
+  * [[graft.operators.Relational.denseLookupJoin]]. Entry `key − min`
+  * holds `code + 1` in `width` bits (width ∈ {1,2,4,8}; stored 0 =
+  * absent), so a dim filtered to a SINGLE payload value packs at one
+  * bit per key of span — 8× smaller than the r14 byte-codes array,
+  * which is what keeps the x1000 salted_join (600 M-key orders span)
+  * inside the codes budget instead of falling back to a shuffle
+  * join. Returns the code (0-based), or −1 when the key is out of
+  * range or absent; the caller filters `≥ 0` (inner-join semantics)
+  * and decodes via a literal dictionary array. Out-of-span keys that
+  * land inside the last allocated word read stored 0 → −1, so the
+  * range check only guards the array index. Null keys yield null
+  * (inner joins never match null). `toString` stays "dense_lookup"
+  * — the plan pins (PlanSpec, probe_paths) key on that marker, and
+  * the packed form IS the same probe. */
+case class DensePackedLookup(child: Expression,
+                             codes: Broadcast[Array[Long]],
+                             min: Long,
+                             width: Int)
     extends UnaryExpression {
+  require(width == 1 || width == 2 || width == 4 || width == 8,
+    s"DensePackedLookup: width=$width not in {1,2,4,8}")
+
+  private val log2w = Integer.numberOfTrailingZeros(width)
+  private val shift = 6 - log2w          // log2(entries per word)
+  private val slotMask = (1 << shift) - 1
+  private val wMask = (1L << width) - 1L
 
   override def dataType: org.apache.spark.sql.types.DataType =
     org.apache.spark.sql.types.IntegerType
@@ -158,27 +170,33 @@ case class DenseByteLookup(child: Expression,
   override def nullSafeEval(key: Any): Any = {
     val idx = key.asInstanceOf[Long] - min
     val c = codes.value
-    if (idx >= 0 && idx < c.length) c(idx.toInt).toInt else -1
+    val wi = (idx >>> shift).toInt
+    if (idx >= 0 && wi < c.length)
+      ((c(wi) >>> ((idx.toInt & slotMask) << log2w)) & wMask).toInt - 1
+    else -1
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bcRef = ctx.addReferenceObj("denseCodesBc", codes,
-      classOf[Broadcast[Array[Byte]]].getName)
-    val c = ctx.addMutableState("byte[]", "denseCodes",
-      v => s"$v = (byte[]) $bcRef.value();")
+      classOf[Broadcast[Array[Long]]].getName)
+    val c = ctx.addMutableState("long[]", "denseCodes",
+      v => s"$v = (long[]) $bcRef.value();")
     nullSafeCodeGen(ctx, ev, k => {
       val idx = ctx.freshName("idx")
+      val wi = ctx.freshName("wi")
       s"""
          |long $idx = $k - ${min}L;
-         |${ev.value} = ($idx >= 0 && $idx < $c.length)
-         |  ? (int) $c[(int) $idx] : -1;
+         |int $wi = (int) ($idx >>> $shift);
+         |${ev.value} = ($idx >= 0 && $wi < $c.length)
+         |  ? (int) (($c[$wi] >>> ((((int) $idx) & $slotMask) << $log2w)) & ${wMask}L) - 1
+         |  : -1;
        """.stripMargin
     })
   }
 
   override def toString: String = s"dense_lookup($child)"
 
-  override protected def withNewChildInternal(newChild: Expression): DenseByteLookup =
+  override protected def withNewChildInternal(newChild: Expression): DensePackedLookup =
     copy(child = newChild)
 }
 

@@ -31,6 +31,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * those bounds the two forms agree on EVERY input string, not just
   * ASCII text — ContainsIgnoreCaseSpec fuzzes the equivalence
   * including İ/K adversarial inputs.
+  *
+  * LOCALE ASSUMPTION (r18 advisory): the argued equivalence is to
+  * `lower()` under the ROOT locale. Spark's `lower` delegates to
+  * `String.toLowerCase()` — the JVM DEFAULT locale — for strings
+  * containing any non-ASCII character, so under a Turkish/Azeri
+  * default locale `"JOİN".toLowerCase == "join"` matches an ASCII
+  * needle while this byte-fold scan (correctly, per ROOT rules)
+  * does not. The İ/K needle validation above is the ROOT-locale
+  * analysis; run the JVM with a non-Turkish default locale (any
+  * `Sessions`-built JVM in this repo does) or pin
+  * `Locale.setDefault(Locale.ROOT)` if that cannot be guaranteed.
   */
 object ContainsIgnoreCase {
 

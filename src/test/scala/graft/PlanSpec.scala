@@ -91,17 +91,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
-  test("q3 attach plan: ten orderkeys PUSHED into the orders scan, one 10-row broadcast, TakeOrderedAndProject") {
+  test("q3 attach plan: ten orderkeys PUSHED into the orders scan, map-literal revenue, no join, TakeOrderedAndProject") {
     // r16: the fact pipeline (both bitmap probes + keyed agg + top-10)
     // runs EAGERLY at construction and its ten rows are collected; the
     // RETURNED plan is only the attach — an orders scan with the ten
-    // orderkeys pushed down (In → row-group pruning at scale) joined
-    // broadcast to a 10-row LocalRelation. The fact side's probe shape
+    // orderkeys pushed down (In → row-group pruning at scale). r19:
+    // the ten revenues attach as a LITERAL MAP lookup inside the scan
+    // projection (the r18 broadcast of a 10-row LocalRelation paid a
+    // BroadcastExchange stage + a join operator per run) — the attach
+    // plan is now join-free end to end. The fact side's probe shape
     // is pinned separately below via the same probes q3 composes.
     val p = plan("q3_shipping")
     assert(p.contains("In(o_orderkey") || p.contains("in(o_orderkey"),
       s"ten-key attach must push In(o_orderkey,…) into the scan:\n${p.take(2000)}")
-    assert("BroadcastHashJoin".r.findAllIn(p).length == 1, p.take(2000))
+    assert(p.contains("element_at(map("),
+      s"revenue must attach as a map-literal lookup:\n${p.take(2000)}")
+    assert(!p.contains("Join"),
+      s"the attach plan must be join-free (r19):\n${p.take(2000)}")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
     assert(!p.contains("lineitem"),
       s"the attach plan must not re-run the fact side:\n${p.take(2000)}")

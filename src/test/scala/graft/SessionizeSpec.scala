@@ -11,7 +11,11 @@ import org.apache.spark.sql.functions._
 class SessionizeSpec extends SparkSpec {
   import spark.implicits._
 
-  private def lagForm(df: org.apache.spark.sql.DataFrame) =
+  // the committed lag-form query loads its own sf0.001 events —
+  // windowForm below takes the SAME Tables.load frame, so both sides
+  // read one table (r18 advisory: a df parameter here was ignored,
+  // silently comparing two independently-loaded datasets)
+  private def lagForm() =
     SparkEntry.queries("sessionize")(spark, "/root/testdata/sf0.001")
 
   private def windowForm(df: org.apache.spark.sql.DataFrame) =
@@ -26,7 +30,7 @@ class SessionizeSpec extends SparkSpec {
 
   test("lag form equals session_window form on sf0.001 events") {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
-    val a = lagForm(ev).collect().toSeq
+    val a = lagForm().collect().toSeq
     val b = windowForm(ev).collect().toSeq
     assert(a == b)
   }

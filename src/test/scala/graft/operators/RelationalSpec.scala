@@ -372,6 +372,33 @@ class RelationalSpec extends SparkSpec {
       "128 distinct values must take the join fallback")
   }
 
+  test("denseLookupJoin r19 bit-packing: width follows dict size and sets the budget") {
+    // span 64001 keys; budget 16 KiB of broadcast words. At 1 bit/key
+    // (single payload value) the span packs into ~8 KiB → dense; at
+    // 2 bits (2-3 values) ~16 KiB → still dense; at 4 bits (4-15
+    // values) ~32 KiB → out of budget → join fallback. The SAME span
+    // flipping plans on payload cardinality is the packing working —
+    // the r14 byte layout would have fallen back in all three cases.
+    val fact = Seq((0L, "a"), (64000L, "b"), (7L, "c")).toDF("k", "p")
+    def dim(nVals: Int) = Seq.tabulate(65)(i =>
+      (i.toLong * 1000L, s"v${i % nVals}")).toDF("dk", "tag")
+    def run(nVals: Int) =
+      Relational.denseLookupJoin(fact, dim(nVals), "k", "dk", "tag",
+        maxCodesBytes = 16L << 10)
+    for (n <- Seq(1, 3, 5)) {
+      val expect = fact.join(broadcast(dim(n)), fact("k") === col("dk"))
+        .select("k", "tag").collect().map(_.toSeq).toSet
+      assert(run(n).select("k", "tag").collect().map(_.toSeq).toSet == expect,
+        s"wrong rows at $n payload values")
+    }
+    assert(!run(1).queryExecution.executedPlan.toString.contains("Join"),
+      "1 value / 1 bit per key must stay dense inside the 16 KiB budget")
+    assert(!run(3).queryExecution.executedPlan.toString.contains("Join"),
+      "3 values / 2 bits per key must stay dense inside the 16 KiB budget")
+    assert(run(5).queryExecution.executedPlan.toString.contains("Join"),
+      "5 values / 4 bits per key must exceed the 16 KiB budget → fallback")
+  }
+
   test("denseLookupJoin fallback path runs exactly ONE build job (r13 item #8)") {
     // r13 ran sizing agg + distinct() dictionary + fill — and the
     // dictionary job ran even when the span had already disqualified
