@@ -27,7 +27,11 @@ object PlanDump {
       "scan-fused prefilter + exact verify join)."),
     "salted_join" -> ("Dense dictionary-lookup join (r13): fact x dim on a dense " +
       "unique PK with a low-cardinality payload plans as a codegen " +
-      "`dense_lookup` probe of a broadcast byte array of dictionary codes, " +
+      "`dense_lookup` probe of a broadcast BIT-PACKED codes array (r19: width " +
+      "1/2/4/8 bits follows payload-dictionary size, so the URGENT-filtered " +
+      "single-value dim packs one bit per key of span — 8x smaller than the " +
+      "r14 byte codes, keeping the probe scan-fused at the 600 M-key x1000 " +
+      "span that previously fell back to a shuffle join), " +
       "fused into the lineitem scan — NO join operator, no fact shuffle, no " +
       "254 MB UnsafeRow broadcast, no serial HashedRelation build (the r12 " +
       "join_floor_profile measured that chain at 0.80 s build + 0.26 s " +
@@ -63,7 +67,8 @@ object PlanDump {
     "j1_equijoin" -> ("Dense dictionary-lookup join on the reference J1 shape " +
       "(r14): attaching c_mktsegment (5 values) to orders on the dense " +
       "customer PK plans as a codegen `dense_lookup` probe of a " +
-      "span-bytes dictionary-code array inside the orders scan — NO join " +
+      "span-packed dictionary-code array (r19 bit-packing: 4 bits for the " +
+      "5-value segment dictionary) inside the orders scan — NO join " +
       "operator, neither side shuffles, no 146 MB unfiltered customer " +
       "broadcast (r13 join_floor_profile measured that serial driver " +
       "chain at 0.59 s, 8.6x DuckDB at the 100x point)."),
