@@ -346,8 +346,17 @@ object SparkEntry {
       // spine-based form scanned+aggregated the corpus twice (bounds
       // agg + calendar join) for identical results at daily grain;
       // TimeSeriesOpsSpec pins the two forms equal
+      // r19, the a8 subset-partitioning trick: repartition on user_id
+      // BEFORE the daily agg — HashPartitioning(user_id) satisfies the
+      // aggregation's ClusteredDistribution(user_id, day), so the agg,
+      // the islands window, the island groupBy and the best-run window
+      // all ride ONE exchange (was two: agg on (user_id, day), then
+      // the window's re-shuffle on user_id). Map-side combine moves
+      // post-shuffle; acceptable behind the ~1 %-selective
+      // purchase × user_id<50 filter, same argument as a8.
       val daily = t(s, d, "events")
         .filter(col("event_type") === "purchase" && col("user_id") < 50)
+        .repartition(col("user_id"))
         .groupBy(col("user_id"), TimeSeriesOps.utcDay(col("ts")).as("day"))
         .agg(count(lit(1)).as("v"))
       orderedSmall(TimeSeriesOps.longestConsecutiveRun(daily, Seq("user_id"), "day")
@@ -759,9 +768,20 @@ object SparkEntry {
           round(avg("n_chars"), 4).as("avg_chars"))
         .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))),
     "text_tokens" -> ((s, d) =>
+      // r19: token count as pure length arithmetic — the same
+      // `#separators + 1 == size(split(text,' '))` identity
+      // pack_sequences and text_quality already ride (split keeps
+      // empty fields, so the identity is exact for empty strings,
+      // leading/trailing and consecutive spaces; both forms
+      // null-propagate). The split form allocated a UTF8String array
+      // per document just to take its size — the in-place codegen
+      // CountByte loop counts the 0x20 bytes with zero allocation
+      // (ASCII bytes never occur inside multi-byte UTF-8 sequences).
+      // sum(long) == sum(int widened) — column type unchanged.
       tp(s, d, "documents")
         .groupBy("lang")
-        .agg(sum(size(split(col("text"), " "))).as("n_tokens"),
+        .agg(sum(graft.plans.StringCount.countChar(col("text"), ' ') + 1)
+          .as("n_tokens"),
           count(lit(1)).as("n_docs"))
         .orderBy("lang")),
     "text_quality" -> ((s, d) => {
@@ -918,8 +938,14 @@ object SparkEntry {
         .transform(df => orderedSmall(df, "user_id"))
     }),
     "ratio_split" -> ((s, d) => {
+      // r19, same subset-partitioning fusion as a8/a9: repartition on
+      // user_id before the (user_id, day) distinct so the dedup agg
+      // and ratioSplit's two user_id windows share ONE exchange (was
+      // two). The user_id<5 filter keeps the shipped raw rows tiny.
       val daily = t(s, d, "events").filter(col("user_id") < 5)
-        .select(col("user_id"), TimeSeriesOps.utcDay(col("ts")).as("day")).distinct()
+        .select(col("user_id"), TimeSeriesOps.utcDay(col("ts")).as("day"))
+        .repartition(col("user_id"))
+        .distinct()
       orderedSmall(
         TimeSeriesOps.ratioSplit(daily, Seq("user_id"), "day", (7, 2, 1))
           .groupBy("user_id", "split").agg(count(lit(1)).as("n_rows")),
@@ -1161,12 +1187,21 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
     "date_functions" -> ((s, d) =>
+      // r19: format AFTER the top-50 cut — the select-then-orderBy
+      // form planned Project(date_format×2, date_add) BELOW
+      // TakeOrderedAndProject, paying two per-row DateTimeFormatter
+      // renders + a day-floor for EVERY user-3 row when only 50
+      // survive (plans/r19/date_functions_before.txt). The take
+      // orders on (event_id, ts) rows; the formats run on the 50-row
+      // SinglePartition output, order preserved by the projection.
+      // Values identical — same expressions over the same 50 rows.
       t(s, d, "events").filter(col("user_id") === 3)
+        .select(col("event_id"), col("ts"))
+        .orderBy("event_id").limit(50)
         .select(col("event_id"),
           date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("iso"),
           date_add(TimeSeriesOps.utcDay(col("ts")), 1).as("next_day"),
-          date_format(col("ts"), "HH:mm").as("hhmm"))
-        .orderBy("event_id").limit(50)),
+          date_format(col("ts"), "HH:mm").as("hhmm"))),
     "str_functions" -> ((s, d) =>
       t(s, d, "documents").filter(col("doc_id") < 30)
         .select(col("doc_id"),
@@ -1947,12 +1982,25 @@ object SparkEntry {
           .withColumn("_src", lit(1)))
         .withColumn("_arr",
           (col("event_id") * 2654435761L) % 1000003L + col("_src") * 2000000L)
-      val w = Window.partitionBy(col("event_id")).orderBy(col("_arr"))
-      orderedSmall(arrivals.withColumn("rn", row_number().over(w))
+      // r19: the counts are arrival-order-INDEPENDENT — rn==1 marks
+      // exactly one row per event_id and rn>1 the rest, so per user:
+      // n_unique = #distinct event_ids, n_arrivals = Σ per-event
+      // arrival counts, n_dropped = Σ (cnt−1). Two hash aggregates
+      // (map-side-combined, whole-stage codegen) replace the keyed
+      // Sort+WindowExec pass (the _arr scramble column no longer
+      // ships through the exchange either); exchange count unchanged
+      // (event_id grouping, then user_id), row_number gone.
+      // StreamingDedupSpec pins this form equal to the rn==1 window
+      // form; selection of WHICH arrival survives (first-by-_arr)
+      // still matters in the real stream path, which the spec drives
+      // via withWatermark + dropDuplicatesWithinWatermark.
+      val perEvent = arrivals.groupBy("event_id", "user_id")
+        .agg(count(lit(1)).as("_cnt"))
+      orderedSmall(perEvent
         .groupBy("user_id")
-        .agg(count(lit(1)).as("n_arrivals"),
-          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_unique"),
-          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped")),
+        .agg(sum(col("_cnt")).as("n_arrivals"),
+          count(lit(1)).as("n_unique"),
+          sum(col("_cnt") - lit(1L)).as("n_dropped")),
         "user_id")
     }),
     "st_watermark" -> ((s, d) => {
