@@ -3,19 +3,20 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.TimeSeriesOps
+
 /** Scratch micro-bench for plan-shape A/B runs during optimization
   * rounds. Each variant is timed with the same noop sink the suite
   * uses. Not part of any contract; kept out of the query registry.
   *
-  * Current A/B: a6_pricing_summary's group-key representation. The
-  * r16 a6_floor_ab named the residual: the 6-group HashAggregate over
-  * TWO string key columns adds 0.064 s over the bare 7-col scan at
-  * sf0.1 (and read 2.3x isolated at x100 in r15). Candidate fix: pack
-  * the two 1-char columns into ONE int key (ascii*256+ascii) so the
-  * aggregate takes HashAggregate's primitive-key fast path and the
-  * strings materialize once per GROUP on output, not once per row in
-  * the key comparator. Run on an otherwise-idle box:
-  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ProfileAdhoc"
+  * Current A/B (r19): the subset-partitioning fusion on
+  * a9_longest_run / ratio_split. The `repartition(user_id)` BEFORE the
+  * first aggregation drops one exchange (2 → 1) but moves map-side
+  * combine post-shuffle — raw filtered rows ship instead of aggregated
+  * (user, day) pairs. At sf0.1 the exchange count dominates; at
+  * x100/x1000 the shipped-bytes term may flip the trade. Run on an
+  * otherwise-idle box at each scale dir:
+  *   SPARK_GRAFT_SF_DIR=/tmp/scale/x100 sbt "runMain graft.ProfileAdhoc"
   */
 object ProfileAdhoc {
   private def time(name: String, reps: Int)(mk: => DataFrame): Unit = {
@@ -33,55 +34,36 @@ object ProfileAdhoc {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.range(100000).agg(sum("id")).collect()
 
-    def li = Tables.load(spark, sfDir, "lineitem")
-      .filter(col("l_shipdate") <= lit("2000-12-01").cast("date"))
+    def evA9 = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase" && col("user_id") < 50)
+    def a9Tail(daily: DataFrame) =
+      TimeSeriesOps.longestConsecutiveRun(daily, Seq("user_id"), "day")
+        .select("user_id", "run_len", "run_start")
+        .coalesce(1).sortWithinPartitions("user_id")
 
-    val aggs = Seq(
-      round(sum("l_quantity"), 2).as("sum_qty"),
-      round(sum("l_extendedprice"), 2).as("sum_base_price"),
-      round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("sum_disc_price"),
-      round(avg("l_quantity"), 4).as("avg_qty"),
-      round(avg("l_extendedprice"), 4).as("avg_price"),
-      count(lit(1)).as("count_order"))
-
-    // warm file/page cache with the bare scan
-    time("bare_7col_scan", reps) {
-      li.agg(sum("l_quantity"), sum("l_extendedprice"),
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
-        count(lit(1)), count(col("l_returnflag")), count(col("l_linestatus")))
+    time("a9_agg_first (2 exch)", reps) {
+      a9Tail(evA9
+        .groupBy(col("user_id"), TimeSeriesOps.utcDay(col("ts")).as("day"))
+        .agg(count(lit(1)).as("v")))
+    }
+    time("a9_repart_first (1 exch)", reps) {
+      a9Tail(evA9.repartition(col("user_id"))
+        .groupBy(col("user_id"), TimeSeriesOps.utcDay(col("ts")).as("day"))
+        .agg(count(lit(1)).as("v")))
     }
 
-    time("a6_string_keys", reps) {
-      li.groupBy("l_returnflag", "l_linestatus")
-        .agg(aggs.head, aggs.tail: _*)
-        .orderBy("l_returnflag", "l_linestatus")
-    }
+    def evRs = Tables.load(spark, sfDir, "events").filter(col("user_id") < 5)
+      .select(col("user_id"), TimeSeriesOps.utcDay(col("ts")).as("day"))
+    def rsTail(daily: DataFrame) =
+      TimeSeriesOps.ratioSplit(daily, Seq("user_id"), "day", (7, 2, 1))
+        .groupBy("user_id", "split").agg(count(lit(1)).as("n_rows"))
+        .coalesce(1).sortWithinPartitions("user_id", "split")
 
-    time("a6_packed_int_key", reps) {
-      li.groupBy((ascii(col("l_returnflag")) * 256 +
-          ascii(col("l_linestatus"))).as("_code"))
-        .agg(aggs.head, aggs.tail: _*)
-        .select(
-          chr(floor(col("_code") / 256)).as("l_returnflag"),
-          chr(col("_code") % 256).as("l_linestatus"),
-          col("sum_qty"), col("sum_base_price"), col("sum_disc_price"),
-          col("avg_qty"), col("avg_price"), col("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
+    time("rs_distinct_first (2 exch)", reps) {
+      rsTail(evRs.distinct())
     }
-
-    time("a6_substr_byte_key", reps) {
-      // same packing via substring-free byte access: ascii() already
-      // reads byte 0; this variant checks whether the arithmetic
-      // packing vs a straight two-int groupBy matters
-      li.groupBy(ascii(col("l_returnflag")).as("_rf"),
-          ascii(col("l_linestatus")).as("_ls"))
-        .agg(aggs.head, aggs.tail: _*)
-        .select(chr(col("_rf")).as("l_returnflag"),
-          chr(col("_ls")).as("l_linestatus"),
-          col("sum_qty"), col("sum_base_price"), col("sum_disc_price"),
-          col("avg_qty"), col("avg_price"), col("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
+    time("rs_repart_first (1 exch)", reps) {
+      rsTail(evRs.repartition(col("user_id")).distinct())
     }
 
     spark.stop()
