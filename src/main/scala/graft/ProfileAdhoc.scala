@@ -66,6 +66,75 @@ object ProfileAdhoc {
       rsTail(evRs.repartition(col("user_id")).distinct())
     }
 
+    // date_parts: two per-row calendar extractions (year + month each
+    // convert epoch-days via LocalDate) + a two-long-column hash key,
+    // vs ONE trunc-to-month conversion per row with a primitive int
+    // (DateType) key and the y/m extraction moved to the ~84 groups.
+    def liDp = Tables.load(spark, sfDir, "lineitem")
+    time("dp_year_month_keys", reps) {
+      liDp.groupBy(year(col("l_shipdate")).cast("bigint").as("y"),
+          month(col("l_shipdate")).cast("bigint").as("m"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .coalesce(1).sortWithinPartitions("y", "m")
+    }
+    time("dp_trunc_month_key", reps) {
+      liDp.groupBy(trunc(col("l_shipdate"), "month").as("_ms"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .select(year(col("_ms")).cast("bigint").as("y"),
+          month(col("_ms")).cast("bigint").as("m"), col("n"), col("qty"))
+        .coalesce(1).sortWithinPartitions("y", "m")
+    }
+
+    // bare-scan floors for the x1000 tail family: each is the
+    // pushdown-pruned scan + a keyless agg over exactly the columns
+    // the corresponding query reads — the physical floor its isolated
+    // wall is certified against (guide §1.3: napkin math per query).
+    def ev = Tables.load(spark, sfDir, "events")
+    def docs = Tables.load(spark, sfDir, "documents")
+    def ord = Tables.load(spark, sfDir, "orders")
+    time("floor dp: li(shipdate,qty)", reps)(
+      liDp.agg(count(lit(1)), sum("l_quantity"), max("l_shipdate")))
+    time("floor sessionize: ev u<10 (uid,ts)", reps)(
+      ev.filter(col("user_id") < 10).agg(count(lit(1)), max("ts")))
+    time("floor date_functions: ev u=3 (eid,ts)", reps)(
+      ev.filter(col("user_id") === 3).agg(count(lit(1)), max("event_id"), max("ts")))
+    time("floor st_w/st_d: ev u<8 (eid,uid,ts)", reps)(
+      ev.filter(col("user_id") < 8).agg(count(lit(1)), max("event_id"), max("ts")))
+    time("floor w5: ev u<5 (uid,eid,value)", reps)(
+      ev.filter(col("user_id") < 5).agg(count(lit(1)), max("event_id"), sum("value")))
+    time("floor a13: ev (type,value) x2 pass", reps)(
+      ev.agg(count(col("event_type")), sum("value")))
+    time("floor approx_distinct: ev (type,uid)", reps)(
+      ev.agg(count(col("event_type")), max("user_id")))
+    time("floor sort_multikey: ord 3 cols", reps)(
+      ord.agg(max("o_orderdate"), max("o_orderkey"), count(col("o_orderstatus"))))
+    time("floor url/mm: docs (doc_id only)", reps)(
+      docs.agg(count(lit(1)), max("doc_id")))
+    time("floor text_tokens: docs (lang,text)", reps)(
+      docs.agg(count(col("lang")), sum(length(col("text")))))
+
+    // st_dedup arrival synthesis: UNION (two event scans) vs EXPLODE
+    // (one scan, the re-delivery generated inline) feeding the same
+    // two-aggregate count chain.
+    def stTail(arrivals: DataFrame) =
+      arrivals.groupBy("event_id", "user_id").agg(count(lit(1)).as("_cnt"))
+        .groupBy("user_id")
+        .agg(sum(col("_cnt")).as("n_arrivals"),
+          count(lit(1)).as("n_unique"),
+          sum(col("_cnt") - lit(1L)).as("n_dropped"))
+        .coalesce(1).sortWithinPartitions("user_id")
+    def e8 = ev.filter(col("user_id") < 8).select(col("event_id"), col("user_id"))
+    time("st_dedup union (2 scans)", reps) {
+      stTail(e8.withColumn("_src", lit(0))
+        .unionByName(e8.filter(col("event_id") % 50 === 0)
+          .withColumn("_src", lit(1))))
+    }
+    time("st_dedup explode (1 scan)", reps) {
+      stTail(e8.select(col("event_id"), col("user_id"),
+        explode(when(col("event_id") % 50 === 0, array(lit(0), lit(1)))
+          .otherwise(array(lit(0)))).as("_src")))
+    }
+
     spark.stop()
   }
 }
