@@ -113,26 +113,140 @@ object ProfileAdhoc {
     time("floor text_tokens: docs (lang,text)", reps)(
       docs.agg(count(col("lang")), sum(length(col("text")))))
 
-    // st_dedup arrival synthesis: UNION (two event scans) vs EXPLODE
-    // (one scan, the re-delivery generated inline) feeding the same
-    // two-aggregate count chain.
-    def stTail(arrivals: DataFrame) =
-      arrivals.groupBy("event_id", "user_id").agg(count(lit(1)).as("_cnt"))
-        .groupBy("user_id")
-        .agg(sum(col("_cnt")).as("n_arrivals"),
-          count(lit(1)).as("n_unique"),
-          sum(col("_cnt") - lit(1L)).as("n_dropped"))
-        .coalesce(1).sortWithinPartitions("user_id")
-    def e8 = ev.filter(col("user_id") < 8).select(col("event_id"), col("user_id"))
-    time("st_dedup union (2 scans)", reps) {
-      stTail(e8.withColumn("_src", lit(0))
-        .unionByName(e8.filter(col("event_id") % 50 === 0)
-          .withColumn("_src", lit(1))))
+    // r20: date_parts THIRD variant — two-level agg keyed on the RAW
+    // int date (no per-row calendar conversion at all; y/m extracted
+    // from the ~2.5k distinct dates post-agg).
+    time("dp_raw_date_key_2level", reps) {
+      liDp.groupBy(col("l_shipdate"))
+        .agg(count(lit(1)).as("_n"), sum("l_quantity").as("_q"))
+        .groupBy(year(col("l_shipdate")).cast("bigint").as("y"),
+          month(col("l_shipdate")).cast("bigint").as("m"))
+        .agg(sum("_n").as("n"), round(sum("_q"), 2).as("qty"))
+        .coalesce(1).sortWithinPartitions("y", "m")
     }
-    time("st_dedup explode (1 scan)", reps) {
-      stTail(e8.select(col("event_id"), col("user_id"),
-        explode(when(col("event_id") % 50 === 0, array(lit(0), lit(1)))
-          .otherwise(array(lit(0)))).as("_src")))
+
+    // r20: sessionize OLD (two full window passes + all-rows agg) vs
+    // NEW (one window pass, boundary-rows-only tail) — the committed
+    // query is the new form; the old chain is inlined here so the A/B
+    // runs same-JVM, same scan.
+    import org.apache.spark.sql.expressions.Window
+    def sessTail(df: DataFrame) = df
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").cast("bigint").as("total_events"),
+        max("n_events").as("max_session_events"))
+      .coalesce(1).sortWithinPartitions("user_id")
+    val byUser = Window.partitionBy("user_id").orderBy("tsu")
+    val gapUs = lit(30L * 60 * 1000000)
+    def sessSrc = ev.filter(col("user_id") < 10)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"))
+    time("sessionize_old (2 windows)", reps) {
+      sessTail(sessSrc
+        .withColumn("new_sess",
+          when(col("tsu") - lag("tsu", 1).over(byUser) > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum("new_sess").over(byUser))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events")))
+    }
+    time("sessionize_new (1 window)", reps) {
+      val whole = byUser.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      sessSrc
+        .select(col("user_id"), col("tsu"),
+          lag("tsu", 1).over(byUser).as("_prev"),
+          row_number().over(byUser).as("_rn"),
+          count(lit(1)).over(whole).as("_cnt"))
+        .filter(col("_rn") === 1 || (col("tsu") - col("_prev")) > gapUs)
+        .withColumn("_next_rn",
+          lead("_rn", 1).over(Window.partitionBy("user_id").orderBy("_rn")))
+        .select(col("user_id"),
+          (coalesce(col("_next_rn").cast("long"), col("_cnt") + 1L)
+            - col("_rn")).as("n_events"))
+        .transform(sessTail)
+    }
+
+    // r20: a8 interpolate neighbor windows — OLD withColumn chain
+    // (3 WindowExecs) vs NEW single-select (1 WindowExec); committed
+    // operator is the new form, old chain inlined for the A/B.
+    def a8Spine = {
+      val daily = ev
+        .filter(col("event_type") === "purchase" && col("user_id") < 20)
+        .repartition(col("user_id"))
+        .groupBy(col("user_id"), TimeSeriesOps.utcDay(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("v"))
+      TimeSeriesOps.toDailySpine(daily, Seq("user_id"), "day", "v")
+    }
+    def a8Tail(withNeighbors: DataFrame, maxGap: Int) = {
+      val v = col("v")
+      val dL = datediff(col("day"), col("_pd"))
+      val dR = datediff(col("_nd"), col("day"))
+      val inReach = (col("_pd").isNotNull && dL <= maxGap) ||
+        (col("_nd").isNotNull && dR <= maxGap)
+      val interp = col("_pv") +
+        (col("_nv") - col("_pv")) * dL.cast("double") /
+          datediff(col("_nd"), col("_pd")).cast("double")
+      val filled = when(v.isNotNull, v)
+        .when(!inReach, lit(null))
+        .when(col("_pd").isNotNull && col("_nd").isNotNull, interp)
+        .when(col("_nd").isNotNull, col("_nv"))
+        .when(col("_pd").isNotNull, col("_pv"))
+      withNeighbors.withColumn("v", filled)
+        .select(col("user_id"), col("day"), round(col("v"), 4).as("v"))
+        .coalesce(1).sortWithinPartitions("user_id", "day")
+    }
+    val a8w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val a8before = a8w.rowsBetween(Window.unboundedPreceding, 0)
+    val a8after = a8w.rowsBetween(0, Window.unboundedFollowing)
+    time("a8_withColumn (3 windows)", reps) {
+      a8Tail(a8Spine
+        .withColumn("_pv", last(col("v"), ignoreNulls = true).over(a8before))
+        .withColumn("_pd", last(when(col("v").isNotNull, col("day")),
+          ignoreNulls = true).over(a8before))
+        .withColumn("_nv", first(col("v"), ignoreNulls = true).over(a8after))
+        .withColumn("_nd", first(when(col("v").isNotNull, col("day")),
+          ignoreNulls = true).over(a8after)), 3)
+    }
+    time("a8_one_select (1 window)", reps) {
+      // the committed operator (single-select neighbor windows)
+      TimeSeriesOps.interpolateGapLimited(a8Spine, Seq("user_id"),
+          "day", "v", 3)
+        .select(col("user_id"), col("day"), round(col("v"), 4).as("v"))
+        .coalesce(1).sortWithinPartitions("user_id", "day")
+    }
+
+    // r20: pack_sequences plain (8-way window, 1 exchange) vs fused
+    // two-level (1 reused exchange, shards×blocks-way window).
+    def packDocs = docs.select(col("doc_id"),
+      pmod(col("doc_id"), lit(8)).as("shard"),
+      (graft.plans.StringCount.countChar(col("text"), ' ') + 1).as("toks"))
+    def packTail(df: DataFrame) = df
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      .coalesce(1).sortWithinPartitions("shard", "seq_id")
+    time("pack_plain_window", reps) {
+      packTail(graft.operators.Packing.packSequences(packDocs,
+        col("shard"), col("doc_id"), col("toks"), 2048L))
+    }
+    time("pack_fused_2level", reps) {
+      packTail(graft.operators.Packing.packSequencesFused(packDocs,
+        col("shard"), col("doc_id"), col("toks"), 2048L))
+    }
+
+    // r20: tfidf_terms stage decomposition — where do the 11.5 s at
+    // x1000 go? (count job | vocab fold | scoring UDF pass | full
+    // query incl. checkpoint+sort)
+    time("tfidf_count_job", reps)(docs.groupBy().count())
+    time("tfidf_vocab_fold", reps) {
+      docs.select(graft.operators.TextAnalysis
+        .vocabFoldCol(col("text"), 1 << 20, weighted = false).as("m"))
+        .select(size(col("m")).as("n"))
+    }
+    time("tfidf_full_rowlocal", reps) {
+      graft.operators.TextAnalysis.tfidfTopTermsRowLocal(
+        docs, "doc_id", "text", 3)
+        .select(col("doc_id"), col("rnk").cast("bigint").as("rnk"),
+          col("tok").as("term"), round(col("tfidf"), 4).as("tfidf"))
     }
 
     spark.stop()

@@ -719,10 +719,20 @@ object SparkEntry {
         .groupBy("event_type").agg(round(avg("k"), 4).as("avg_k"))
         .orderBy("event_type")),
     "date_parts" -> ((s, d) => orderedSmall(
+      // r20 §4: group on trunc-to-month, extract y/m from the ~84
+      // groups post-agg — ONE calendar conversion per row instead of
+      // two (year() and month() each run their own epoch-day→LocalDate
+      // walk). (y, m) ↔ month-truncated date is a bijection, so the
+      // groups and their aggregates are identical (R20FormsSpec pin;
+      // ProfileAdhoc x1000 A/B: 3.25 vs 3.39 / 3.02 vs 3.76 s across
+      // two runs; the raw-date two-level variant measured WORSE —
+      // dp_raw_date_key_2level — so per-row calendar work, not agg
+      // fan-in, is the knob here).
       t(s, d, "lineitem")
-        .groupBy(year(col("l_shipdate")).cast("bigint").as("y"),
-          month(col("l_shipdate")).cast("bigint").as("m"))
-        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty")),
+        .groupBy(trunc(col("l_shipdate"), "month").as("_ms"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .select(year(col("_ms")).cast("bigint").as("y"),
+          month(col("_ms")).cast("bigint").as("m"), col("n"), col("qty")),
       "y", "m")),
     "seasonal_features" -> ((s, d) => {
       val days = t(s, d, "events").select(TimeSeriesOps.utcDay(col("ts")).as("day")).distinct()
@@ -920,14 +930,35 @@ object SparkEntry {
       // in codegen). SessionizeSpec pins the two forms equal.
       val byUser = Window.partitionBy("user_id").orderBy("tsu")
       val gapUs = lit(30L * 60 * 1000000)
-      t(s, d, "events").filter(col("user_id") < 10)
+      // r20 §2.4: ONE full window pass instead of two, and the
+      // per-session stats come from BOUNDARY ROWS ONLY. The old form
+      // (lag window → running-sum window → groupBy(user, sess_id) →
+      // groupBy(user)) materialized every row through two WindowExec
+      // passes and hash-aggregated every row on (user, sess_id). A
+      // session is a contiguous row_number range between boundaries
+      // (first row, or gap > 30 min — the same STRICT rule), so
+      // lag + row_number + the partition row count all ride one
+      // WindowExec (same partition+order spec, three frames), the
+      // boundary filter drops ~everything, and the lead() that turns
+      // boundary row-numbers into session lengths runs over sessions,
+      // not events, reusing the same hash partitioning (no second
+      // exchange). R20FormsSpec pins this row-equal to the old form;
+      // SessionizeSpec pins the old form against session_window.
+      val whole = byUser.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val bounds = t(s, d, "events").filter(col("user_id") < 10)
         .select(col("user_id"), unix_micros(col("ts")).as("tsu"))
-        .withColumn("new_sess",
-          when(col("tsu") - lag("tsu", 1).over(byUser) > gapUs, 1L)
-            .otherwise(0L))
-        .withColumn("sess_id", sum("new_sess").over(byUser))
-        .groupBy(col("user_id"), col("sess_id"))
-        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("tsu"),
+          lag("tsu", 1).over(byUser).as("_prev"),
+          row_number().over(byUser).as("_rn"),
+          count(lit(1)).over(whole).as("_cnt"))
+        .filter(col("_rn") === 1 || (col("tsu") - col("_prev")) > gapUs)
+      bounds
+        .withColumn("_next_rn",
+          lead("_rn", 1).over(Window.partitionBy("user_id").orderBy("_rn")))
+        .select(col("user_id"),
+          (coalesce(col("_next_rn").cast("long"), col("_cnt") + 1L)
+            - col("_rn")).as("n_events"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_sessions"),
           sum("n_events").cast("bigint").as("total_events"),
@@ -1510,9 +1541,20 @@ object SparkEntry {
       // canonical-form groups are enum-sized (5 hosts × 40 ids ×
       // variant flags) → orderedSmall replaces the global range sort,
       // whose boundary sampling re-ran the whole canonicalize+agg chain
-      orderedSmall(raw.select(col("url"), canonical.as("canonical"))
+      // r20 §2.3/§4: aggregate by RAW url first. `canonical` is a pure
+      // function of `url`, so grouping by url and canonicalizing the
+      // ~10³ distinct urls post-agg computes the identical result while
+      // (a) the per-row hot path hash-aggregates ONE string key instead
+      // of two (the old groupBy(canonical) also carried url inside
+      // count_distinct's dedup key), and (b) the canonicalizer byte
+      // scan runs per distinct url, not per row. n_raw = count(*) of
+      // the url-level rows (url-distinct by construction); n_docs =
+      // sum of per-url counts. Pinned row-equal in R20FormsSpec.
+      orderedSmall(raw
+        .groupBy("url").agg(count(lit(1)).as("_n"))
+        .select(canonical.as("canonical"), col("_n"))
         .groupBy("canonical")
-        .agg(count(lit(1)).as("n_docs"), count_distinct(col("url")).as("n_raw")),
+        .agg(sum("_n").as("n_docs"), count(lit(1)).as("n_raw")),
         "canonical")
     }),
     "heavy_hitters" -> ((s, d) => {

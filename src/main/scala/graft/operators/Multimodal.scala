@@ -54,17 +54,31 @@ object Multimodal {
     StructField("width", IntegerType), StructField("height", IntegerType),
     StructField("duration_s", DoubleType)))
 
-  /** Decode pass: per-partition batch loop (the Arrow-batch shape),
-    * emitting typed media metadata next to the original columns. */
+  /** Decode pass, emitting typed media metadata next to the original
+    * columns.
+    *
+    * r20 (guide §4): the decode runs as a PROJECTION — one codegen
+    * hash kernel ([[graft.plans.MultimodalHash]], the stub's exact
+    * byte mix) plus floorMod/shift arithmetic lowered to built-in
+    * Catalyst ops. The previous form ran [[decodeStub]] inside
+    * `mapPartitions` over external `Row`s: every column of every row
+    * crossed the object boundary twice, and the opaque node blocked
+    * column pruning, so consumers that aggregated two decoded fields
+    * still paid to build uri/meta at the scan. A production codec that
+    * is genuinely a black box would use the mapPartitions batch shape
+    * ([[sampleFrames]] keeps it); a decode whose output is derivable
+    * per row belongs in the plan where the optimizer can see through
+    * it. MultimodalSpec pins this row-identical to the stub loop.
+    */
   def decode(assets: DataFrame): DataFrame = {
-    val schema = StructType(assets.schema.fields :+ StructField("decoded", decodedType))
-    val enc = org.apache.spark.sql.Encoders.row(schema)
-    assets.mapPartitions { rows =>
-      rows.map { r =>
-        val (w, h, d) = decodeStub(r.getAs[Array[Byte]]("bytes"))
-        Row.fromSeq(r.toSeq :+ Row(w, h, d))
-      }
-    }(enc)
+    val h = graft.plans.MultimodalHash.mixCol(col("bytes"))
+    // exactly decodeStub's arithmetic: pmod == Java floorMod on longs
+    val w = (lit(160) + pmod(h, lit(8L)).cast("int") * 160).as("width")
+    val ht = (lit(120) + pmod(shiftrightunsigned(h, 8), lit(8L)).cast("int") * 120)
+      .as("height")
+    val dur = (lit(1.0) + pmod(shiftrightunsigned(h, 16), lit(600L)) / 10.0)
+      .as("duration_s")
+    assets.withColumn("decoded", struct(w, ht, dur))
   }
 
   /** Feature extraction stub: 16-bin byte histogram, L1-normalized —

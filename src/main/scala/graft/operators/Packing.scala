@@ -38,6 +38,70 @@ object Packing {
       .drop("_before")
   }
 
+  /** [[packSequences]] with the prefix sum computed in TWO LEVELS over
+    * ONE exchange (r20). Blocks are fixed-width `orderCol` ranges
+    * (`blk = floor(order / blockWidth)` — constant width, so no bounds
+    * pass and block count grows with the data: scale-adaptive
+    * parallelism without a tuned constant, guide §2). One
+    * `repartition(shard, blk)` is the only wide exchange; both
+    * consumers — the per-(shard, blk) local prefix window and the
+    * per-block sum aggregate — need exactly that clustering, so the
+    * plan reuses the exchange (ReusedExchange; PlanSpec-checkable) and
+    * the input is scanned ONCE. The per-shard block offsets are an
+    * exclusive running sum over the tiny (shard, blk) sum table
+    * (its own #blocks-row exchange) broadcast-joined back. Identity:
+    * blocks are monotone in `orderCol`, so local exclusive prefix +
+    * offset == the global per-shard exclusive prefix — plain long
+    * addition, exact; PackingSpec pins fused == plain on fuzzed
+    * inputs.
+    *
+    * vs [[packSequencesBlocked]] (r18, kept below as the measured
+    * reference): that form paid a bounds aggregation plus a SECOND
+    * full input scan for the block sums — the double exchange class
+    * that made it 5.3 s vs 3.8 s at the 17 GB point. This form has no
+    * bounds job and one scan; the window parallelism is
+    * min(#partitions, shards × blocks) instead of `shards`.
+    *
+    * `orderCol` must be integral with |orderCol| < 2⁵³ (block ids come
+    * from an exact pmod-aligned floor division — exact for negatives
+    * too, same domain bound as [[packSequencesBlocked]]).
+    *
+    * MEASURED NEGATIVE at the 17 GB x1000 point (r20 ProfileAdhoc,
+    * same-JVM A/B: plain 3.31 s vs fused 5.25 s min-of-3) — like the
+    * r18 blocked form, the extra broadcast join + second exchange
+    * consumer cost more than the 8-way window it parallelized, because
+    * at that scale the wall is the scan+exchange, not the window sort.
+    * Kept as the documented alternative for few-shards × huge-shard
+    * corpora; the committed pack_sequences query keeps the plain
+    * form. */
+  def packSequencesFused(df: DataFrame, shardCol: Column, orderCol: Column,
+                         tokenCol: Column, budget: Long,
+                         blockWidth: Long = 1L << 16): DataFrame = {
+    require(blockWidth >= 1, "blockWidth must be >= 1")
+    val o = orderCol.cast("long")
+    val blk = ((o - pmod(o, lit(blockWidth))) / blockWidth).cast("long")
+    val parted = df.withColumn("_blk", blk)
+      .repartition(shardCol, col("_blk"))
+    val wLocal = Window.partitionBy(shardCol, col("_blk")).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOffset = Window.partitionBy("_shard_key").orderBy(col("_blk_r"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // right side gets fresh names — same ambiguity note as the r18 form
+    val blockSums = parted
+      .groupBy(shardCol.as("_shard_key"), col("_blk").as("_blk_r"))
+      .agg(sum(tokenCol).as("_bsum"))
+      .withColumn("_off", coalesce(sum("_bsum").over(wOffset), lit(0L)))
+      .drop("_bsum")
+    parted
+      .join(broadcast(blockSums),
+        shardCol === col("_shard_key") && col("_blk") === col("_blk_r"))
+      .drop("_blk_r", "_shard_key")
+      .withColumn("_before",
+        coalesce(sum(tokenCol).over(wLocal), lit(0L)) + col("_off"))
+      .withColumn("seq_id", floor(col("_before") / budget).cast("long"))
+      .drop("_before", "_off", "_blk")
+  }
+
   /** [[packSequences]] with the prefix sum computed in TWO LEVELS —
     * the distributed-scan pattern — for corpora whose shard count is
     * far below the cluster's parallelism. The plain form's window

@@ -357,6 +357,12 @@ object TextAnalysis {
       ExpressionEncoder[Map[String, Long]]()
   }
 
+  /** Vocab fold as a bare aggregate column (dev profiling only —
+    * ProfileAdhoc prices the fold stage of the row-local tf-idf). */
+  private[graft] def vocabFoldCol(text: Column, maxVocab: Int,
+                                  weighted: Boolean): Column =
+    udaf(new VocabFold(maxVocab, weighted), Encoders.STRING)(text)
+
   /** One-job driver-side vocab map: token → Σtf (`weighted`) or
     * token → document frequency (profiles hold distinct tokens). */
   private def vocabMap(docs: DataFrame, textCol: String, maxVocab: Int,

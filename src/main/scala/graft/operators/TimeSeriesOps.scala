@@ -111,11 +111,23 @@ object TimeSeriesOps {
     val before = byKey.rowsBetween(Window.unboundedPreceding, 0)
     val after = byKey.rowsBetween(0, Window.unboundedFollowing)
     val v = col(valCol)
-    val withNeighbors = spine
-      .withColumn("_pv", last(v, ignoreNulls = true).over(before))
-      .withColumn("_pd", last(when(v.isNotNull, col(dayCol)), ignoreNulls = true).over(before))
-      .withColumn("_nv", first(v, ignoreNulls = true).over(after))
-      .withColumn("_nd", first(when(v.isNotNull, col(dayCol)), ignoreNulls = true).over(after))
+    // all four neighbor columns in ONE select: the sequential
+    // withColumn chain interleaved Projects (the when(v.isNotNull, day)
+    // marker) between the Window nodes, which blocked CollapseWindow —
+    // the plan ran THREE full window passes over the exploded spine
+    // (r19 x1000: the window materializations were most of the 5.9×
+    // residual). Emitted together, the analyzer groups all four
+    // functions by (partition, order) into a single WindowExec with
+    // two frame processors (running last + lookahead first) — one
+    // buffered pass, same values.
+    val withNeighbors = spine.select(
+      (spine.columns.map(col).toSeq :+
+        last(v, ignoreNulls = true).over(before).as("_pv") :+
+        last(when(v.isNotNull, col(dayCol)), ignoreNulls = true)
+          .over(before).as("_pd") :+
+        first(v, ignoreNulls = true).over(after).as("_nv") :+
+        first(when(v.isNotNull, col(dayCol)), ignoreNulls = true)
+          .over(after).as("_nd")): _*)
     val dL = datediff(col(dayCol), col("_pd"))
     val dR = datediff(col("_nd"), col(dayCol))
     val inReach = (col("_pd").isNotNull && dL <= maxGap) ||

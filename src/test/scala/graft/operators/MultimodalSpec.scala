@@ -30,6 +30,25 @@ class MultimodalSpec extends SparkSpec {
     assert(a.forall { case (_, w, d) => w >= 160 && w <= 1280 && d >= 1.0 && d <= 61.0 })
   }
 
+  test("decode expression is bit-identical to decodeStub on fuzzed blobs") {
+    val rnd = new scala.util.Random(20)
+    val blobs: Seq[Array[Byte]] = Seq(
+      null, Array.emptyByteArray, Array[Byte](0), Array[Byte](-128, 127)) ++
+      (0 until 40).map { i =>
+        val n = rnd.nextInt(if (i % 4 == 0) 5000 else 300) // past the 4 KiB cap too
+        val a = new Array[Byte](n); rnd.nextBytes(a); a
+      }
+    val df = blobs.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "bytes")
+    val got = Multimodal.decode(df)
+      .select($"id", $"decoded.width", $"decoded.height", $"decoded.duration_s")
+      .as[(Long, Int, Int, Double)].collect().sortBy(_._1)
+    got.foreach { case (id, w, h, d) =>
+      val (ew, eh, ed) = Multimodal.decodeStub(blobs(id.toInt))
+      assert((w, h, d) == (ew, eh, ed), s"blob $id")
+    }
+  }
+
   test("sampleFrames keeps every stride-th 256-byte frame, covering the blob") {
     val frames = Multimodal.sampleFrames(assets.filter($"asset_id" === 1), stride = 2)
       .select($"frame_idx", length($"frame_bytes").as("n")).as[(Int, Int)]
