@@ -19,7 +19,12 @@ import graft.operators.TimeSeriesOps
   *   SPARK_GRAFT_SF_DIR=/tmp/scale/x100 sbt "runMain graft.ProfileAdhoc"
   */
 object ProfileAdhoc {
+  // SPARK_GRAFT_ADHOC_ONLY=substr,substr: run only matching probes
+  private val only: Option[Array[String]] =
+    sys.env.get("SPARK_GRAFT_ADHOC_ONLY").map(_.split(",").map(_.trim)
+      .filter(_.nonEmpty))
   private def time(name: String, reps: Int)(mk: => DataFrame): Unit = {
+    if (only.exists(!_.exists(name.contains(_)))) return
     val ts = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
       mk.write.mode("overwrite").format("noop").save()
@@ -242,11 +247,54 @@ object ProfileAdhoc {
         .vocabFoldCol(col("text"), 1 << 20, weighted = false).as("m"))
         .select(size(col("m")).as("n"))
     }
+    time("tfidf_vocab_kernel", reps) {
+      docs.select(graft.operators.TextAnalysis
+        .vocabKernelCol(col("text"), 1 << 20, weighted = false).as("m"))
+        .select(size(col("m")).as("n"))
+    }
     time("tfidf_full_rowlocal", reps) {
       graft.operators.TextAnalysis.tfidfTopTermsRowLocal(
         docs, "doc_id", "text", 3)
         .select(col("doc_id"), col("rnk").cast("bigint").as("rnk"),
           col("tok").as("term"), round(col("tfidf"), 4).as("tfidf"))
+    }
+    // lm_score stage decomposition
+    time("lm_vocab_kernel_weighted", reps) {
+      docs.select(graft.operators.TextAnalysis
+        .vocabKernelCol(col("text"), 1 << 20, weighted = true).as("m"))
+        .select(size(col("m")).as("n"))
+    }
+    time("lm_scoring_scan", reps) {
+      val df = graft.operators.TextAnalysis
+        .corpusLmScoreRowLocal(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_logp"), 4).as("avg_logp"))
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("true"))
+        println(df.queryExecution.executedPlan)
+      df
+    }
+    def lmScored = graft.operators.TextAnalysis
+      .corpusLmScoreRowLocal(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("avg_logp"), 4).as("avg_logp"))
+    time("lm_sort_checkpointed", reps) {
+      lmScored.localCheckpoint().orderBy("doc_id")
+    }
+    time("lm_sort_recompute", reps) {
+      lmScored.orderBy("doc_id")
+    }
+    // checkpoint-vs-recompute for the committed query's final global
+    // sort: with the kernel the chain is cheap — does re-running it
+    // for the range sampler beat materializing 15 M rows?
+    def tfidfScored = graft.operators.TextAnalysis.tfidfTopTermsRowLocal(
+      docs, "doc_id", "text", 3)
+      .select(col("doc_id"), col("rnk").cast("bigint").as("rnk"),
+        col("tok").as("term"), round(col("tfidf"), 4).as("tfidf"))
+    time("tfidf_sort_checkpointed", reps) {
+      tfidfScored.localCheckpoint().orderBy("doc_id", "rnk")
+    }
+    time("tfidf_sort_recompute", reps) {
+      tfidfScored.orderBy("doc_id", "rnk")
     }
 
     spark.stop()

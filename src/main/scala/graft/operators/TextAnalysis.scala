@@ -53,7 +53,7 @@ object TextAnalysis {
     * kept for output stability). One compiled pass — the HOF
     * formulation re-split the text once per language after
     * project-collapse (21 s → sub-second on the sf0.1 corpus). */
-  private val langIdUdf = {
+  private[graft] val langIdUdf = {
     val table: Map[String, Seq[String]] = stopwords
     udf((text: String) => {
       if (text == null) "und"
@@ -74,7 +74,15 @@ object TextAnalysis {
       }
     })
   }
-  def langId(text: Column): Column = langIdUdf(text)
+
+  /** r20 (guide §4): ONE in-place token pass with a combined
+    * (token → language bitmask) lookup instead of the UDF's per-doc
+    * text lower+split plus five set passes with per-doc set
+    * construction. [[langIdUdf]] stays as the reference semantics
+    * (TfidfKernelSpec fuzz-pins the two equal, including the
+    * lex-larger tie rule and the null→'und' contract). */
+  def langId(text: Column): Column =
+    coalesce(graft.plans.Tfidf.langIdCol(text, stopwords), lit("und"))
 
   /** Quality signals (length / punctuation / stopword / digit ratios)
     * — the standard cheap pre-training text filters. */
@@ -363,11 +371,198 @@ object TextAnalysis {
                                   weighted: Boolean): Column =
     udaf(new VocabFold(maxVocab, weighted), Encoders.STRING)(text)
 
+  /** [[vocabFoldCol]] over the r20 kernel fold (the committed path). */
+  private[graft] def vocabKernelCol(text: Column, maxVocab: Int,
+                                    weighted: Boolean): Column =
+    udaf(new VocabKernelFold(maxVocab, weighted), Encoders.STRING)(text)
+
+  /** Open-addressing (lowered token → count) accumulator for
+    * [[VocabKernelFold]] — the r20 per-token-allocation fix (guide
+    * §4): the [[VocabFold]] immutable-Map buffer paid substring +
+    * toLowerCase + boxing + a HAMT `updated` PER TOKEN OCCURRENCE
+    * (~250 M allocations over the x1000 corpus, most of the fold's
+    * 3.2 s). Here a token allocates ONCE per distinct token per
+    * partition (its stored lowered key); every later occurrence
+    * hashes and compares fold-on-the-fly with zero allocation.
+    * Distinct-per-doc counting (df mode) uses a per-slot doc stamp
+    * instead of a per-doc set. Tokenizer and lowering parity with
+    * [[tfProfile]]: same ASCII `\s` delimiting; ASCII chars fold in
+    * place, non-ASCII tokens fall back to
+    * `String.toLowerCase(Locale.ROOT)` (the TextScan house
+    * contract; TfidfKernelSpec fuzz-pins fold == VocabFold). */
+  private[operators] final class VocabAcc(var maxVocab: Int,
+                                          var weighted: Boolean)
+      extends Serializable {
+    var keys: Array[String] = new Array[String](128)
+    var vals: Array[Long] = new Array[Long](128)
+    var stamps: Array[Int] = new Array[Int](128)
+    var size: Int = 0
+    var doc: Int = 0
+
+    @inline private def isWs(c: Char): Boolean =
+      c == ' ' || (c >= '\t' && c <= '\r')
+    @inline private def foldC(c: Char): Char =
+      if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+    private def hashKey(k: String): Int = {
+      var h = -2128831035
+      var i = 0
+      while (i < k.length) { h = (h ^ k.charAt(i)) * 16777619; i += 1 }
+      h & 0x7fffffff
+    }
+    private def hashFolded(t: String, start: Int, end: Int): Int = {
+      var h = -2128831035
+      var i = start
+      while (i < end) { h = (h ^ foldC(t.charAt(i))) * 16777619; i += 1 }
+      h & 0x7fffffff
+    }
+
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals; val os = stamps
+      keys = new Array[String](ok.length << 1)
+      vals = new Array[Long](ok.length << 1)
+      stamps = new Array[Int](ok.length << 1)
+      var e = 0
+      while (e < ok.length) {
+        if (ok(e) != null) {
+          val mask = keys.length - 1
+          var i = hashKey(ok(e)) & mask
+          while (keys(i) != null) i = (i + 1) & mask
+          keys(i) = ok(e); vals(i) = ov(e); stamps(i) = os(e)
+        }
+        e += 1
+      }
+    }
+
+    private def bound(): Unit =
+      require(size <= maxVocab,
+        s"vocabulary exceeds maxVocab=$maxVocab; " +
+          "use the distributed (join/window) form for open vocabularies")
+
+    /** Add `delta` for a stored lowered key (merge path / fallback). */
+    def addKey(k: String, delta: Long, distinctThisDoc: Boolean): Unit = {
+      if ((size + 1) * 2 > keys.length) grow()
+      val mask = keys.length - 1
+      var i = hashKey(k) & mask
+      while (keys(i) != null) {
+        if (keys(i) == k) {
+          if (distinctThisDoc) {
+            if (stamps(i) != doc) { vals(i) += delta; stamps(i) = doc }
+          } else vals(i) += delta
+          return
+        }
+        i = (i + 1) & mask
+      }
+      keys(i) = k; vals(i) = delta; stamps(i) = doc
+      size += 1
+      bound()
+    }
+
+    /** Zero-allocation hit path for an ASCII token of `t`. */
+    private def addAsciiRange(t: String, start: Int, end: Int,
+                              distinctThisDoc: Boolean): Unit = {
+      if ((size + 1) * 2 > keys.length) grow()
+      val mask = keys.length - 1
+      val len = end - start
+      var i = hashFolded(t, start, end) & mask
+      while (keys(i) != null) {
+        val k = keys(i)
+        if (k.length == len) {
+          var j = 0
+          var eq = true
+          while (eq && j < len) {
+            if (k.charAt(j) != foldC(t.charAt(start + j))) eq = false
+            j += 1
+          }
+          if (eq) {
+            if (distinctThisDoc) {
+              if (stamps(i) != doc) { vals(i) += 1L; stamps(i) = doc }
+            } else vals(i) += 1L
+            return
+          }
+        }
+        i = (i + 1) & mask
+      }
+      // first sighting: materialize the folded key once
+      val a = new Array[Char](len)
+      var j = 0
+      while (j < len) { a(j) = foldC(t.charAt(start + j)); j += 1 }
+      keys(i) = new String(a); vals(i) = 1L; stamps(i) = doc
+      size += 1
+      bound()
+    }
+
+    /** Fold one document's text. */
+    def foldText(t: String): Unit = {
+      doc += 1
+      val distinct = !weighted
+      val n = t.length
+      var i = 0
+      while (i < n) {
+        while (i < n && isWs(t.charAt(i))) i += 1
+        if (i < n) {
+          val start = i
+          var ascii = true
+          while (i < n && !isWs(t.charAt(i))) {
+            if (t.charAt(i) >= 0x80) ascii = false
+            i += 1
+          }
+          if (ascii) addAsciiRange(t, start, i, distinct)
+          else addKey(t.substring(start, i)
+            .toLowerCase(java.util.Locale.ROOT), 1L, distinct)
+        }
+      }
+    }
+
+    def mergeFrom(o: VocabAcc): Unit = {
+      // counts are final per-partition — stamps no longer matter
+      doc += 1
+      var e = 0
+      while (e < o.keys.length) {
+        if (o.keys(e) != null) addKey(o.keys(e), o.vals(e),
+          distinctThisDoc = false)
+        e += 1
+      }
+    }
+
+    def toMap: Map[String, Long] = {
+      val b = Map.newBuilder[String, Long]
+      var e = 0
+      while (e < keys.length) {
+        if (keys(e) != null) b += keys(e) -> vals(e)
+        e += 1
+      }
+      b.result()
+    }
+  }
+
+  /** [[VocabFold]] semantics over the [[VocabAcc]] kernel buffer —
+    * same loud maxVocab bound, same (token → df | Σtf) result; the
+    * buffer serializes via kryo only at partial-merge boundaries. */
+  private final class VocabKernelFold(maxVocab: Int, weighted: Boolean)
+      extends Aggregator[String, VocabAcc, Map[String, Long]] {
+    override def zero: VocabAcc = new VocabAcc(maxVocab, weighted)
+    override def reduce(b: VocabAcc, text: String): VocabAcc = {
+      if (text != null) b.foldText(text)
+      b
+    }
+    override def merge(x: VocabAcc, y: VocabAcc): VocabAcc = {
+      x.mergeFrom(y)
+      x
+    }
+    override def finish(r: VocabAcc): Map[String, Long] = r.toMap
+    override def bufferEncoder: Encoder[VocabAcc] = Encoders.kryo[VocabAcc]
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+  }
+
   /** One-job driver-side vocab map: token → Σtf (`weighted`) or
-    * token → document frequency (profiles hold distinct tokens). */
+    * token → document frequency (profiles hold distinct tokens).
+    * r20: kernel fold ([[VocabAcc]]); [[VocabFold]] stays as the
+    * spec-pinned reference form. */
   private def vocabMap(docs: DataFrame, textCol: String, maxVocab: Int,
                        weighted: Boolean): Map[String, Long] = {
-    val fold = udaf(new VocabFold(maxVocab, weighted), Encoders.STRING)
+    val fold = udaf(new VocabKernelFold(maxVocab, weighted), Encoders.STRING)
     try docs.select(fold(col(textCol)).as("vocab"))
       .head.getMap[String, Long](0).toMap
     catch { case e: Throwable =>
@@ -472,12 +667,27 @@ object TextAnalysis {
     val n = docs.count() // = profile count: null text still yields a profile row
     val dfMap = vocabMap(docs, textCol, maxVocab, weighted = false)
     val nD = n.toDouble
-    val topK = udf((text: String) => {
-      // fused tokenize+score+rank: one text pass, no profile array
-      // across the UDF boundary. StrictMath.log: Catalyst's Log
-      // expression evaluates through StrictMath, and the spec pins
-      // bit-identity with the window form (Math.log's intrinsic
-      // differs by an ulp on some inputs)
+    // r20 (guide §4): the fused tokenize+score+rank runs as the
+    // in-place codegen kernel (plans/TfidfExpressions.scala) instead
+    // of a scalar UDF — no UTF8String→String decode of the corpus, no
+    // per-occurrence substring/toLowerCase/boxing, the df table probes
+    // by folded bytes. Bit-identity preserved (same StrictMath.log op
+    // sequence per token, same (score desc, token asc) total order);
+    // TfidfKernelSpec fuzz-pins kernel == the UDF form this replaces,
+    // and the tfProfile-based UDF stays below as the spec reference.
+    docs.select(col(idCol),
+        explode(graft.plans.Tfidf.topKCol(col(textCol),
+          new graft.plans.TokenDfMap(dfMap), nD, k)).as("t"))
+      .select(col(idCol), col("t._2").as("tok"), col("t._3").as("tf"),
+        col("t._4").as("tfidf"), col("t._1").as("rnk"))
+  }
+
+  /** The scalar-UDF top-k scorer the r20 kernel replaced — kept as
+    * the executable reference semantics (TfidfKernelSpec pins the
+    * kernel against it on fuzzed corpora). */
+  private[graft] def tfidfTopKUdfReference(dfMap: Map[String, Long],
+                                           nD: Double, k: Int) =
+    udf((text: String) => {
       val scored = tfProfile(text).toSeq.map { case (tok, tf) =>
         val df = dfMap.getOrElse(tok, throw new IllegalStateException(
           s"tfidfTopTermsRowLocal: token '$tok' absent from the vocab pass — " +
@@ -491,10 +701,6 @@ object TextAnalysis {
         (i + 1, tok, tf, s)
       }
     })
-    docs.select(col(idCol), explode(topK(col(textCol))).as("t"))
-      .select(col(idCol), col("t._2").as("tok"), col("t._3").as("tf"),
-        col("t._4").as("tfidf"), col("t._1").as("rnk"))
-  }
 
   /** [[corpusLmScore]] with the scoring computed ROW-LOCALLY: the
     * unigram log-probs ride the closure as a map (vocab-bounded,
@@ -517,14 +723,38 @@ object TextAnalysis {
                             maxVocab: Int = 1 << 20): DataFrame = {
     val vocab = vocabMap(docs, textCol, maxVocab, weighted = true)
     val total = vocab.valuesIterator.sum.toDouble
-    val logp = vocab.map { case (tok, cnt) =>
-      (tok, java.lang.StrictMath.log(cnt / total))
+    val logpBits = vocab.map { case (tok, cnt) =>
+      (tok, java.lang.Double.doubleToRawLongBits(
+        java.lang.StrictMath.log(cnt / total)))
     }
-    val score = udf((text: String) => {
-      // fused tokenize+score: one pass over the text, no profile
-      // array crossing the UDF boundary; accumulation order is the
-      // profile's hash-map order — the same order the join form's
-      // partial aggregate consumes, so doubles match bit-for-bit
+    // r20 (guide §4): the fused tokenize+score runs as the in-place
+    // codegen kernel (plans/TfidfExpressions.scala) — no
+    // UTF8String→String decode, no per-occurrence substring/
+    // toLowerCase/boxing. n_tokens is exact; the Σ tf·ln(p)
+    // accumulates over distinct tokens in table order where the UDF
+    // used scala-HashMap order — both arbitrary; the sums agree to
+    // reassociation ulps and the DECLARED contract (the lm_score
+    // query, the DuckDB oracle, LmScoreSpec) compares at round(·, 4).
+    // The UDF form stays below as the executable reference.
+    // empty-doc drop BEFORE the scorer: filtering on r._1 > 0 after
+    // would push `lm_score(text)._1 > 0` below the projection and
+    // evaluate the kernel twice per row (§4.4 — seen live in the
+    // plan). hasToken(text) > 0 ⟺ n_tokens > 0 by construction
+    // (a token is a maximal non-ws byte run), null text drops either
+    // way.
+    docs.filter(graft.plans.Tfidf.hasTokenCol(col(textCol)))
+      .select(col(idCol),
+        graft.plans.Tfidf.lmScoreCol(col(textCol),
+          new graft.plans.TokenDfMap(logpBits)).as("r"))
+      .select(col(idCol), col("r._1").as("n_tokens"), col("r._2").as("avg_logp"))
+  }
+
+  /** The scalar-UDF LM scorer the r20 kernel replaced — kept as the
+    * executable reference semantics (TfidfKernelSpec pins the kernel
+    * against it: n_tokens exact, avg_logp to reassociation ulps and
+    * equal after the query's round-4). */
+  private[graft] def lmScoreUdfReference(logp: Map[String, Double]) =
+    udf((text: String) => {
       val prof = tfProfile(text)
       var n = 0L
       var s = 0.0
@@ -538,12 +768,8 @@ object TextAnalysis {
             "unstable shuffle break this); use the join form corpusLmScore"))
         i += 1
       }
-      (n, s / n) // n == 0 rows are filtered below before this divides meaningfully
+      (n, s / n)
     })
-    docs.select(col(idCol), score(col(textCol)).as("r"))
-      .filter(col("r._1") > 0L)
-      .select(col(idCol), col("r._1").as("n_tokens"), col("r._2").as("avg_logp"))
-  }
 
   /** One compiled pass per document: doc length + per-query-term
     * counts. A HOF formulation (size(filter(ts, ...)) per term) would

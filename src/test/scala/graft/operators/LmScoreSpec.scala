@@ -22,15 +22,28 @@ class LmScoreSpec extends SparkSpec {
     assert(s1 > s2)
   }
 
-  test("row-local form equals the broadcast-join form exactly") {
+  test("row-local form equals the broadcast-join form at the query contract") {
+    // r20: the kernel scorer accumulates Σ tf·ln(p) in its table
+    // order; the old UDF used scala-HashMap order (which happened to
+    // coincide with the join form's pair order, hence the former
+    // bit-exact pin). All orders agree to reassociation ulps; the
+    // DECLARED contract — the lm_score query and its DuckDB oracle —
+    // rounds avg_logp to 4 decimals, so the pin here is: n_tokens
+    // exact, avg_logp within 1e-12 absolute AND equal after round-4.
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     def norm(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id", "n_tokens", "avg_logp")
         .as[(Long, Long, Double)].collect().toSeq.sorted
     val joined = norm(TextAnalysis.corpusLmScore(docs, "doc_id", "text"))
     val local = norm(TextAnalysis.corpusLmScoreRowLocal(docs, "doc_id", "text"))
-    assert(joined.nonEmpty)
-    assert(local == joined) // incl. bit-identical avg_logp doubles
+    assert(joined.nonEmpty && local.size == joined.size)
+    local.zip(joined).foreach { case ((di, ni, ai), (dj, nj, aj)) =>
+      assert(di == dj && ni == nj, s"doc $di")
+      assert(math.abs(ai - aj) < 1e-12, s"doc $di: $ai vs $aj")
+      assert(BigDecimal(ai).setScale(4, BigDecimal.RoundingMode.HALF_UP) ==
+        BigDecimal(aj).setScale(4, BigDecimal.RoundingMode.HALF_UP),
+        s"doc $di rounds apart: $ai vs $aj")
+    }
   }
 
   test("row-local form drops empty-profile docs like the join form") {
