@@ -234,9 +234,52 @@ object ProfileAdhoc {
         col("shard"), col("doc_id"), col("toks"), 2048L))
     }
     time("pack_fused_2level", reps) {
-      packTail(graft.operators.Packing.packSequencesFused(packDocs,
+      val df = packTail(graft.operators.Packing.packSequencesFused(packDocs,
+        col("shard"), col("doc_id"), col("toks"), 2048L))
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("true"))
+        println(df.queryExecution.executedPlan)
+      df
+    }
+
+    // r20: pack_sequences stage decomposition (3.3 s over a ~0.8 s
+    // scan floor — price each stage)
+    time("pack_scan_only", reps)(packDocs.agg(sum("toks"), max("doc_id")))
+    time("pack_scan_exchange", reps)(packDocs.repartition(col("shard")))
+    time("pack_exchange_sort", reps)(packDocs.repartition(col("shard"))
+      .sortWithinPartitions("shard", "doc_id"))
+    val dp = spark.sparkContext.defaultParallelism
+    time("pack_pin_exchange", reps)(packDocs.repartition(dp, col("shard")))
+    time("pack_pin_exch_sort", reps)(packDocs.repartition(dp, col("shard"))
+      .sortWithinPartitions("shard", "doc_id"))
+    time("pack_pin_full_window", reps) {
+      packTail(graft.operators.Packing.packSequences(
+        packDocs.repartition(dp, col("shard")),
         col("shard"), col("doc_id"), col("toks"), 2048L))
     }
+    spark.conf.set("spark.sql.windowExec.buffer.in.memory.threshold",
+      (4 * 1024 * 1024).toString)
+    time("pack_pin_window_bigbuf", reps) {
+      packTail(graft.operators.Packing.packSequences(
+        packDocs.repartition(dp, col("shard")),
+        col("shard"), col("doc_id"), col("toks"), 2048L))
+    }
+    spark.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "4096")
+
+    // r20: a13_metrics decomposition — the scoring pass re-scans with
+    // a literal-map probe and a 5-function agg with POWER().
+    def a13Scored = {
+      val means = ev.filter(col("event_type").isNotNull)
+        .groupBy("event_type").agg(avg("value").as("pred"))
+        .collect().toSeq.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        .flatMap(r => Seq(lit(r.getString(0)), lit(r.getDouble(1))))
+      ev.filter(col("event_type").isNotNull)
+        .select(col("value"), map(means: _*)(col("event_type")).as("pred"))
+    }
+    time("a13_attach_only", reps)(a13Scored.agg(sum("value"), sum("pred")))
+    time("a13_full_pow", reps)(a13Scored.agg(
+      round(TimeSeriesOps.rmse(col("value"), col("pred")), 4),
+      round(TimeSeriesOps.r2Agg(col("value"), col("pred")), 6),
+      round(TimeSeriesOps.smape(col("value"), col("pred")), 4)))
 
     // r20: tfidf_terms stage decomposition — where do the 11.5 s at
     // x1000 go? (count job | vocab fold | scoring UDF pass | full

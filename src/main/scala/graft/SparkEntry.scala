@@ -660,6 +660,9 @@ object SparkEntry {
     "w6_lag_trend" -> ((s, d) => {
       val daily = t(s, d, "events")
         .groupBy(TimeSeriesOps.utcDay(col("ts")).as("day")).agg(avg("value").as("v"))
+      // global window is bounded BY CONSTRUCTION: input is the
+      // daily-grain aggregate (≤ calendar days of the corpus), never
+      // the events table
       val prev = lag("v", 1).over(Window.orderBy("day"))
       daily.withColumn("prev", prev)
         .select(col("day"), round(col("v"), 4).as("avg_value"),
@@ -1113,9 +1116,21 @@ object SparkEntry {
       // 97×-finer window partitioning made it SLOWER). The blocked
       // form pays the exchange class twice and measured 5.3 s vs
       // 3.8 s — dedup_stage_floor prices both every run.
+      // r20 §2.1: PIN the pack exchange's partition count. The window's
+      // ENSURE_REQUIREMENTS exchange is AQE-coalescible, and at the
+      // GB points the ~120 MB shuffle coalesces to ~2 partitions under
+      // the 64 MB advisory size — the 8-shard pack window then runs
+      // 2-way, which was most of pack's 3.5 s x1000 wall (stage probes:
+      // exchange 1.0 + sort 1.0 + window 1.7 over a 0.34 s scan). An
+      // explicit-count repartition (REPARTITION_BY_NUM) satisfies the
+      // window's ClusteredDistribution(shard) with no second exchange
+      // and is exempt from AQE coalescing; the count follows the
+      // session's parallelism, not a constant (shard cardinality caps
+      // useful width at 8 either way). x1000: 3.49 → 2.33 s.
       orderedSmall(
-        graft.operators.Packing.packSequences(docs, col("shard"), col("doc_id"),
-            col("toks"), 2048L)
+        graft.operators.Packing.packSequences(
+            docs.repartition(s.sparkContext.defaultParallelism, col("shard")),
+            col("shard"), col("doc_id"), col("toks"), 2048L)
           .groupBy("shard", "seq_id")
           .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens")),
         "shard", "seq_id")

@@ -67,27 +67,36 @@ object Packing {
     * too, same domain bound as [[packSequencesBlocked]]).
     *
     * MEASURED NEGATIVE at the 17 GB x1000 point (r20 ProfileAdhoc,
-    * same-JVM A/B: plain 3.31 s vs fused 5.25 s min-of-3) — like the
-    * r18 blocked form, the extra broadcast join + second exchange
-    * consumer cost more than the 8-way window it parallelized, because
-    * at that scale the wall is the scan+exchange, not the window sort.
-    * Kept as the documented alternative for few-shards × huge-shard
-    * corpora; the committed pack_sequences query keeps the plain
-    * form. */
+    * same-JVM A/B, two iterations): v1 with block sums off the
+    * exchanged frame 5.25 s vs plain 3.31 s — the executed plan shows
+    * NO ReusedExchange (the join's pushed null-filters differentiate
+    * the exchange subtrees), so it paid two full-row exchanges; v2
+    * (this code — block sums map-side-partial-aggregated off the
+    * unexchanged scan, tiny shuffle) 4.37 s vs plain 3.49 s — the
+    * second tokenize scan + per-row broadcast-join probe still cost
+    * more than the window parallelism they buy. Kept as the
+    * documented alternative for few-shards × huge-shard corpora; the
+    * committed pack_sequences query keeps the plain form with its
+    * exchange pinned (see SparkEntry). */
   def packSequencesFused(df: DataFrame, shardCol: Column, orderCol: Column,
                          tokenCol: Column, budget: Long,
                          blockWidth: Long = 1L << 16): DataFrame = {
     require(blockWidth >= 1, "blockWidth must be >= 1")
     val o = orderCol.cast("long")
     val blk = ((o - pmod(o, lit(blockWidth))) / blockWidth).cast("long")
-    val parted = df.withColumn("_blk", blk)
-      .repartition(shardCol, col("_blk"))
+    val withBlk = df.withColumn("_blk", blk)
+    val parted = withBlk.repartition(shardCol, col("_blk"))
     val wLocal = Window.partitionBy(shardCol, col("_blk")).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wOffset = Window.partitionBy("_shard_key").orderBy(col("_blk_r"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // right side gets fresh names — same ambiguity note as the r18 form
-    val blockSums = parted
+    // right side gets fresh names — same ambiguity note as the r18 form.
+    // The block sums aggregate the UNexchanged scan: the map-side
+    // partial agg collapses each task to ≤ #blocks rows, so this
+    // branch's exchange is tiny (vs hanging it off `parted`, where the
+    // join's pushed null-filters make the branches differ and defeat
+    // ReuseExchange — observed live: two full-row exchanges).
+    val blockSums = withBlk
       .groupBy(shardCol.as("_shard_key"), col("_blk").as("_blk_r"))
       .agg(sum(tokenCol).as("_bsum"))
       .withColumn("_off", coalesce(sum("_bsum").over(wOffset), lit(0L)))

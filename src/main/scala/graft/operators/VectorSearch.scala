@@ -77,7 +77,9 @@ object VectorSearch {
     val inGroup = Window.partitionBy(groupCol).orderBy(desc(scoreCol), idCol)
     val capped = results.withColumn("_gr", row_number().over(inGroup))
       .filter(col("_gr") <= perGroupCap)
-    // group order key: best (lowest) global rank inside the group
+    // group order key: best (lowest) global rank inside the group.
+    // The unpartitioned windows here are bounded BY CONSTRUCTION:
+    // `results` is a retrieval result set (top-k rows), never a table.
     val globalOrd = Window.orderBy(desc(scoreCol), idCol)
     val groupOrd = Window.partitionBy(groupCol)
     val emitOrd = Window.orderBy(col("_gr"), col("_gpos"), desc(scoreCol), idCol)
@@ -95,6 +97,8 @@ object VectorSearch {
     * enhanced_internal_db_service.py:796-809). */
   def contextBudget(results: DataFrame, order: Seq[Column], textCol: Column,
                     budget: Int): DataFrame = {
+    // unpartitioned by design — `results` is a retrieval result set
+    // (top-k rows), so the global running sum is bounded by k
     val w = Window.orderBy(order: _*).rowsBetween(Window.unboundedPreceding, -1)
     results
       .withColumn("_spent", coalesce(sum(length(textCol)).over(w), lit(0L)))
